@@ -1,0 +1,35 @@
+"""Engine configuration.
+
+Analog of the reference's config-as-catalog YAML (`scripts/settings.py:13-14`,
+consumed everywhere as ``config[...]``) — one typed object instead of a dict of
+paths.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Tuning knobs for the CDC apply path.
+
+    n_buckets: storage bucketing of the transcript table by ``hash(conv_id)``.
+        The unit of copy-on-write during MERGE — only buckets touched by a change
+        batch are rewritten (reference analog: only coastal/low tiles processed,
+        `pipeline_transform_sea_level.py:1747-1792`). At 100 TB you would set this
+        to O(thousands); file count per commit stays = touched buckets.
+    salt_buckets: fan-out for the salted first stage of LWW dedup on hot keys.
+    hot_key_threshold: a conv_id is "hot" if it carries more than this fraction
+        of the sampled batch (BASELINE: top-1% keys carry ≥50% of events).
+    hot_key_sample: fraction of the batch sampled for hot-key detection
+        (detection must not itself shuffle the full batch).
+    """
+
+    n_buckets: int = 32
+    salt_buckets: int = 16
+    hot_key_threshold: float = 0.01
+    hot_key_sample: float = 0.1
+    dedup_strategy: str = "agg"  # "agg" | "window" | "salted_window"
+    target_file_rows: int = 5_000_000
+    extra: dict = field(default_factory=dict)

@@ -1,0 +1,313 @@
+"""LakeTable — a from-scratch snapshot-committed table format on parquet.
+
+No Iceberg/Delta jars ship in this environment, so the lake layer the engine
+needs (atomic commits, MERGE at partition granularity, additive schema evolution,
+time travel, snapshot summary properties) is built here from public first
+principles — the same concepts the Iceberg spec documents (snapshot files, a
+current-pointer swap, optimistic concurrency), re-implemented in plain Python +
+PySpark.
+
+Layout on disk::
+
+    <table>/
+      _snapshots/v00000001.json   one immutable JSON per committed snapshot
+      _current                    text file holding the committed version number
+      _manifests/epoch_<id>.json  advisory per-epoch lineage (recomputable)
+      data/<commit-uuid>/_bucket=<k>/part-*.parquet
+
+Commit protocol (exactly-once):
+
+1. Data files for the new snapshot are written to a fresh ``data/<uuid>/`` dir —
+   invisible until referenced by a committed snapshot, so a crash mid-write leaves
+   only unreferenced orphans (cleaned by :meth:`vacuum`).
+2. The snapshot JSON is created with ``O_EXCL`` — two concurrent committers racing
+   for the same version: exactly one wins (optimistic concurrency, as in Iceberg).
+3. ``_current`` is swapped via ``os.replace`` (atomic on POSIX). On an object
+   store this step maps to an atomic rename (HDFS) or conditional put (S3) — the
+   identical requirement Iceberg/Delta have.
+
+The snapshot carries ``summary.epoch_id``: the epoch manifest and the data commit
+are therefore ATOMIC — the fix for the reference's racy skip-if-exists idempotence
+(`scripts/pipelines/pipeline_transform_sea_level.py:1377-1380`, SURVEY.md §7.4).
+
+Storage partitioning: ``_bucket = pmod(xxhash64(conv_id), n_buckets)`` — the
+analog of the reference's 1°×1° tile as unit of data + parallelism
+(`scripts/pipelines/tile_utils.py:82-107`). MERGE rewrites only touched buckets
+(copy-on-write), the analog of "only coastal, low-altitude tiles processed"
+(`pipeline_transform_sea_level.py:1747-1792`).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import time
+import uuid
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+BUCKET_COL = "_bucket"
+
+
+def bucket_expr(key_col: str, n_buckets: int):
+    """Deterministic storage bucket of a key (stable across engines/sessions)."""
+    return F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_buckets)).cast("int")
+
+
+class CommitConflict(Exception):
+    """Another writer committed this version first (optimistic concurrency)."""
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    # ------------------------------------------------------------------ paths
+    @property
+    def _snap_dir(self) -> str:
+        return os.path.join(self.path, "_snapshots")
+
+    @property
+    def _current_path(self) -> str:
+        return os.path.join(self.path, "_current")
+
+    @property
+    def manifest_dir(self) -> str:
+        return os.path.join(self.path, "_manifests")
+
+    def _snap_path(self, version: int) -> str:
+        return os.path.join(self._snap_dir, f"v{version:08d}.json")
+
+    # ------------------------------------------------------------- lifecycle
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        n_buckets: int = 32,
+        key_col: str = "conv_id",
+    ) -> "LakeTable":
+        t = cls(spark, path)
+        if t.exists():
+            raise FileExistsError(f"table already exists at {path}")
+        os.makedirs(t._snap_dir, exist_ok=True)
+        os.makedirs(t.manifest_dir, exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        t._commit_snapshot(
+            {
+                "version": 1,
+                "parent": None,
+                "created_ms": int(time.time() * 1000),
+                "schema": json.loads(schema.json()),
+                "n_buckets": n_buckets,
+                "key_col": key_col,
+                "files": [],
+                "summary": {"operation": "create", "epoch_id": -1},
+            }
+        )
+        return t
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "LakeTable":
+        t = cls(spark, path)
+        if not t.exists():
+            raise FileNotFoundError(f"no lake table at {path}")
+        return t
+
+    def exists(self) -> bool:
+        return os.path.isfile(self._current_path)
+
+    # ------------------------------------------------------------- snapshots
+    def current_version(self) -> int:
+        with open(self._current_path) as f:
+            return int(f.read().strip())
+
+    def snapshot(self, version: int | None = None) -> dict[str, Any]:
+        """Committed snapshot; ``version`` enables time travel."""
+        v = self.current_version() if version is None else version
+        with open(self._snap_path(v)) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict[str, Any]]:
+        out = []
+        for p in sorted(glob.glob(os.path.join(self._snap_dir, "v*.json"))):
+            with open(p) as f:
+                out.append(json.load(f))
+        return [s for s in out if s["version"] <= self.current_version()]
+
+    def schema(self, version: int | None = None) -> T.StructType:
+        return T.StructType.fromJson(self.snapshot(version)["schema"])
+
+    def n_buckets(self) -> int:
+        return int(self.snapshot()["n_buckets"])
+
+    def key_col(self) -> str:
+        return self.snapshot().get("key_col", "conv_id")
+
+    def last_epoch(self) -> int:
+        """Highest epoch id committed — the exactly-once watermark."""
+        return int(self.snapshot()["summary"].get("epoch_id", -1))
+
+    # ------------------------------------------------------------------ read
+    def read(
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        include_deleted: bool = False,
+    ) -> DataFrame:
+        """Read the table (optionally one snapshot version / a bucket subset).
+
+        Bucket pruning is metadata-only: the snapshot lists files per bucket, so a
+        read of k touched buckets opens exactly those files — no scan of the rest
+        (the engine's analog of Iceberg partition pruning).
+        """
+        snap = self.snapshot(version)
+        schema = T.StructType.fromJson(snap["schema"])
+        files = snap["files"]
+        if buckets is not None:
+            wanted = set(buckets)
+            files = [f for f in files if f["bucket"] in wanted]
+        if not files:
+            df = self.spark.createDataFrame([], schema)
+        else:
+            # explicit schema: files written before a schema evolution lack the new
+            # columns; the parquet reader null-fills by name (union-by-name read).
+            df = self.spark.read.schema(schema).parquet(*[f["path"] for f in files])
+        if not include_deleted and "_deleted" in df.columns:
+            df = df.filter(~F.col("_deleted"))
+        return df
+
+    def read_public(self, version: int | None = None) -> DataFrame:
+        """Live rows, internal columns (lsn, _deleted) dropped."""
+        df = self.read(version=version)
+        return df.drop("lsn", "_deleted")
+
+    # ----------------------------------------------------------------- write
+    def write_data_files(self, df: DataFrame) -> list[dict[str, Any]]:
+        """Write ``df`` (must carry ``_bucket``) into a fresh commit dir.
+
+        Returns file descriptors with per-file row/byte counts taken from parquet
+        footers (no extra Spark job) — these feed the snapshot and the per-bucket
+        lineage metrics (BASELINE requirement).
+        """
+        commit_dir = os.path.join(self.path, "data", uuid.uuid4().hex)
+        (
+            df.repartition(F.col(BUCKET_COL))
+            .write.partitionBy(BUCKET_COL)
+            .mode("overwrite")
+            .parquet(commit_dir)
+        )
+        import pyarrow.parquet as pq
+
+        out = []
+        for p in sorted(glob.glob(os.path.join(commit_dir, f"{BUCKET_COL}=*", "*.parquet"))):
+            bucket = int(p.split(f"{BUCKET_COL}=")[1].split(os.sep)[0])
+            out.append(
+                {
+                    "path": p,
+                    "bucket": bucket,
+                    "rows": pq.ParquetFile(p).metadata.num_rows,
+                    "bytes": os.path.getsize(p),
+                }
+            )
+        return out
+
+    def commit(
+        self,
+        files: list[dict[str, Any]],
+        summary: dict[str, Any],
+        schema: T.StructType | None = None,
+    ) -> int:
+        """Commit a new snapshot; returns the new version number."""
+        prev = self.snapshot()
+        version = prev["version"] + 1
+        snap = {
+            "version": version,
+            "parent": prev["version"],
+            "created_ms": int(time.time() * 1000),
+            "schema": json.loads(schema.json()) if schema is not None else prev["schema"],
+            "n_buckets": prev["n_buckets"],
+            "key_col": prev.get("key_col", "conv_id"),
+            "files": files,
+            "summary": summary,
+        }
+        self._commit_snapshot(snap)
+        return version
+
+    def _commit_snapshot(self, snap: dict[str, Any]) -> None:
+        path = self._snap_path(snap["version"])
+        try:
+            # O_EXCL: exactly one writer can create this version
+            with open(path, "x") as f:
+                json.dump(snap, f)
+        except FileExistsError as e:
+            raise CommitConflict(f"snapshot v{snap['version']} already committed") from e
+        tmp = self._current_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(snap["version"]))
+        os.replace(tmp, self._current_path)  # atomic pointer swap
+
+    # ------------------------------------------------------------- manifests
+    def write_epoch_manifest(self, epoch_id: int, manifest: dict[str, Any]) -> str:
+        """Advisory per-epoch lineage JSON (atomicity lives in the snapshot;
+        this file is recomputable from it). Analog of the reference's per-call
+        lineage log (`scripts/pipelines/model_pipeline.py:37-73`) and JSON
+        metadata records (`scripts/docs/compile_json_metadata.py:190-220`)."""
+        os.makedirs(self.manifest_dir, exist_ok=True)
+        p = os.path.join(self.manifest_dir, f"epoch_{epoch_id:012d}.json")
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, p)
+        return p
+
+    def read_epoch_manifests(self) -> list[dict[str, Any]]:
+        out = []
+        for p in sorted(glob.glob(os.path.join(self.manifest_dir, "epoch_*.json"))):
+            with open(p) as f:
+                out.append(json.load(f))
+        return out
+
+    # --------------------------------------------------------------- vacuum
+    def vacuum(self, keep_versions: int = 1) -> list[str]:
+        """Delete data files unreferenced by the last ``keep_versions`` snapshots
+        (compaction hygiene — analog of the reference's COG rebuild,
+        `scripts/pipelines/model_pipeline.py:403-420`)."""
+        keep = set()
+        cur = self.current_version()
+        for v in range(max(1, cur - keep_versions + 1), cur + 1):
+            for f in self.snapshot(v)["files"]:
+                keep.add(os.path.realpath(f["path"]))
+        removed = []
+        for p in glob.glob(os.path.join(self.path, "data", "*", f"{BUCKET_COL}=*", "*.parquet")):
+            if os.path.realpath(p) not in keep:
+                os.remove(p)
+                removed.append(p)
+        # drop empty commit dirs
+        for d in glob.glob(os.path.join(self.path, "data", "*")):
+            if os.path.isdir(d) and not any(glob.iglob(os.path.join(d, "**", "*.parquet"), recursive=True)):
+                shutil.rmtree(d)
+        return removed
+
+    def compact(self) -> int:
+        """Rewrite current live state into one file per bucket (rewrite_data_files
+        analog). Returns the new snapshot version."""
+        df = self.read(include_deleted=True)
+        key = self.key_col()
+        n = self.n_buckets()
+        files = self.write_data_files(df.withColumn(BUCKET_COL, bucket_expr(key, n)))
+        return self.commit(
+            files,
+            summary={
+                "operation": "compact",
+                "epoch_id": self.last_epoch(),
+                "files": len(files),
+            },
+        )

@@ -1,0 +1,198 @@
+"""MERGE-style CDC apply — the engine's flagship plan.
+
+Semantics (SURVEY.md §2.3 J5 — the reference's join-update
+``UPDATE … FROM … WHERE ST_equals`` re-expressed as a lake MERGE):
+
+    MERGE INTO transcripts t
+    USING lww_winners(batch) s
+    ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+    WHEN MATCHED AND (s.ts, s.lsn) > (t.ts, t.lsn) AND s.op = 'D' THEN tombstone
+    WHEN MATCHED AND (s.ts, s.lsn) > (t.ts, t.lsn)               THEN UPDATE
+    WHEN NOT MATCHED AND s.op != 'D'                             THEN INSERT
+    (deletes on absent keys still write a tombstone, so a later out-of-order
+     event older than the delete cannot resurrect the row)
+
+Physically: per-key LWW reduce of the batch → derive touched buckets → read ONLY
+those buckets of current state → one more LWW reduce of (state ∪ batch-winners) →
+copy-on-write rewrite of touched buckets → atomic snapshot commit carrying the
+epoch id. Untouched buckets' files carry over to the new snapshot unchanged.
+
+Exactly-once: the epoch id commits atomically inside the snapshot; re-applying an
+epoch ≤ the committed watermark is a no-op (and even a forced re-apply converges
+to the same state — LWW is idempotent). This replaces the reference's racy
+skip-if-exists + append (`pipeline_transform_sea_level.py:1377-1380`;
+`pipeline_load_localPG.py:26-56`).
+
+Schema evolution: extra payload columns in the batch evolve the table schema
+additively (union-by-name); old files are read with the evolved schema and
+null-filled — analog of the reference's pre-union type harmonization
+(`pipeline_transform_vrt_gdal.py:258-306`).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_geo_dem_spark.config import EngineConfig
+from etl_geo_dem_spark.operators.lww import lww_winners
+from etl_geo_dem_spark.operators.skew import detect_hot_keys
+from etl_geo_dem_spark.plans.lake_table import BUCKET_COL, LakeTable, bucket_expr
+from etl_geo_dem_spark.schemas import KEY_COLS, ORDER_COLS
+
+ENVELOPE_COLS = {"op", "epoch"}
+
+
+class SchemaEvolutionError(Exception):
+    """Non-additive schema change in a change batch (type conflict / dropped col)."""
+
+
+def evolve_schema(state_schema: T.StructType, batch: DataFrame) -> tuple[T.StructType, list[str]]:
+    """Return (evolved state schema, new column names). Additive-only."""
+    state_by_name = {f.name: f for f in state_schema.fields}
+    new_fields: list[T.StructField] = []
+    for f in batch.schema.fields:
+        if f.name in ENVELOPE_COLS:
+            continue
+        cur = state_by_name.get(f.name)
+        if cur is None:
+            new_fields.append(T.StructField(f.name, f.dataType, True))  # force nullable
+        elif cur.dataType != f.dataType:
+            raise SchemaEvolutionError(
+                f"column {f.name!r}: table has {cur.dataType.simpleString()}, "
+                f"batch has {f.dataType.simpleString()} — only additive evolution is allowed"
+            )
+    if not new_fields:
+        return state_schema, []
+    evolved = T.StructType(list(state_schema.fields) + new_fields)
+    return evolved, [f.name for f in new_fields]
+
+
+def _to_state_shape(winners: DataFrame, evolved: T.StructType) -> DataFrame:
+    """Project batch LWW winners into internal state shape (tombstone flag set)."""
+    cols = []
+    for f in evolved.fields:
+        if f.name == "_deleted":
+            cols.append((F.col("op") == "D").alias("_deleted"))
+        elif f.name in winners.columns:
+            cols.append(F.col(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return winners.select(*cols)
+
+
+def apply_changes(
+    table: LakeTable,
+    batch: DataFrame,
+    epoch_id: int,
+    cfg: EngineConfig = EngineConfig(),
+) -> dict[str, Any]:
+    """Apply one epoch of change events to the table. Returns the epoch manifest."""
+    t0 = time.time()
+    last = table.last_epoch()
+    if epoch_id <= last:
+        return {"epoch_id": epoch_id, "status": "skipped", "last_committed_epoch": last}
+
+    snap = table.snapshot()
+    n_buckets = table.n_buckets()
+    state_schema = table.schema()
+    evolved, new_cols = evolve_schema(state_schema, batch)
+
+    obs_in = Observation(f"epoch_{epoch_id}_in")
+    batch = batch.observe(obs_in, F.count(F.lit(1)).alias("events"))
+
+    hot_keys = None
+    strategy = cfg.dedup_strategy
+    if strategy == "salted_window":
+        hot_keys = detect_hot_keys(
+            batch, KEY_COLS[0], cfg.hot_key_threshold, cfg.hot_key_sample
+        )
+    winners = lww_winners(
+        batch, KEY_COLS, ORDER_COLS, strategy=strategy,
+        salt_buckets=cfg.salt_buckets, hot_keys=hot_keys,
+    )
+    batch_state = _to_state_shape(winners, evolved).withColumn(
+        BUCKET_COL, bucket_expr(KEY_COLS[0], n_buckets)
+    )
+
+    # touched-partition derivation (SURVEY.md §4 "partition pruning before
+    # execution") — bounded by n_buckets, safe to collect.
+    touched = sorted(
+        r[0] for r in batch_state.select(BUCKET_COL).distinct().collect()
+    )
+
+    target = table.read(buckets=touched, include_deleted=True)
+    for c in new_cols:  # union-by-name null-fill for pre-evolution state
+        if c not in target.columns:
+            target = target.withColumn(c, F.lit(None).cast(dict(
+                (f.name, f.dataType) for f in evolved.fields)[c]))
+    target = target.select([f.name for f in evolved.fields]).withColumn(
+        BUCKET_COL, bucket_expr(KEY_COLS[0], n_buckets)
+    )
+
+    merged = lww_winners(
+        target.unionByName(batch_state), KEY_COLS, ORDER_COLS, strategy="agg"
+    )
+    obs_out = Observation(f"epoch_{epoch_id}_out")
+    merged = merged.observe(obs_out, F.count(F.lit(1)).alias("rows"))
+
+    new_files = table.write_data_files(merged)
+    carried = [f for f in snap["files"] if f["bucket"] not in set(touched)]
+    version = table.commit(
+        carried + new_files,
+        summary={
+            "operation": "merge",
+            "epoch_id": epoch_id,
+            "touched_buckets": touched,
+            "new_files": len(new_files),
+            "schema_evolved": new_cols,
+        },
+        schema=evolved,
+    )
+
+    manifest = {
+        "epoch_id": epoch_id,
+        "status": "committed",
+        "snapshot_version": version,
+        "input_events": obs_in.get["events"],
+        "state_rows_touched_buckets": obs_out.get["rows"],
+        "touched_buckets": touched,
+        "n_touched": len(touched),
+        "schema_evolved": new_cols,
+        "dedup_strategy": strategy,
+        "hot_keys_detected": len(hot_keys) if hot_keys is not None else None,
+        "lineage": {
+            str(f["bucket"]): {"rows": f["rows"], "bytes": f["bytes"], "path": f["path"]}
+            for f in new_files
+        },
+        "duration_sec": round(time.time() - t0, 3),
+        "parallelism": table.spark.sparkContext.defaultParallelism,
+    }
+    table.write_epoch_manifest(epoch_id, manifest)
+    return manifest
+
+
+def replay(
+    table: LakeTable,
+    changes: DataFrame,
+    cfg: EngineConfig = EngineConfig(),
+) -> list[dict[str, Any]]:
+    """Replay a multi-epoch change stream, resuming past committed epochs.
+
+    Epochs are applied in ascending id order (the reference's dependency-ordered
+    schedule, `pipeline_transform_sea_level.py:1787`); epochs ≤ the committed
+    watermark are filtered out BEFORE any work happens — the anti-join-vs-produced
+    restart of the reference (`pipeline_flows.py:210-221`) done on metadata.
+    """
+    last = table.last_epoch()
+    epoch_ids = sorted(
+        r[0] for r in changes.select("epoch").distinct().filter(F.col("epoch") > last).collect()
+    )
+    out = []
+    for e in epoch_ids:
+        out.append(apply_changes(table, changes.filter(F.col("epoch") == e), e, cfg))
+    return out
