@@ -47,6 +47,16 @@ from etl_geo_dem_spark.schemas import KEY_COLS, ORDER_COLS
 ENVELOPE_COLS = {"op", "epoch"}
 
 
+def _obs_value(obs: Observation, key: str, default: int = 0) -> int:
+    """Observation metrics are absent when the observed node optimizes to an
+    empty LocalTableScan (e.g. an empty change batch) — fall back instead of
+    failing a committed epoch's manifest."""
+    try:
+        return obs.get[key]
+    except Exception:
+        return default
+
+
 class SchemaEvolutionError(Exception):
     """Non-additive schema change in a change batch (type conflict / dropped col)."""
 
@@ -158,8 +168,8 @@ def apply_changes(
         "epoch_id": epoch_id,
         "status": "committed",
         "snapshot_version": version,
-        "input_events": obs_in.get["events"],
-        "state_rows_touched_buckets": obs_out.get["rows"],
+        "input_events": _obs_value(obs_in, "events"),
+        "state_rows_touched_buckets": _obs_value(obs_out, "rows"),
         "touched_buckets": touched,
         "n_touched": len(touched),
         "schema_evolved": new_cols,

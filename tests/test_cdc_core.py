@@ -281,3 +281,15 @@ def test_public_schema_matches_input_hint(spark, warehouse):
     table = _mk_table(spark, warehouse)
     pub = table.read_public()
     assert [f.name for f in TRANSCRIPT_SCHEMA.fields] == pub.columns
+
+
+def test_empty_batch_commits_noop_epoch(spark, warehouse):
+    """Regression: an empty change batch must commit its epoch watermark
+    without failing on missing Observation metrics."""
+    table = _mk_table(spark, warehouse)
+    empty = spark.createDataFrame([], CHANGE_SCHEMA)
+    m = apply_changes(table, empty, 0)
+    assert m["status"] == "committed" and m["n_touched"] == 0
+    assert m["input_events"] == 0
+    assert table.last_epoch() == 0
+    assert apply_changes(table, empty, 0)["status"] == "skipped"
