@@ -1,38 +1,60 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship CDC final-state query on sf0.001;
+``queries()``/``oracle_sql()`` expose the full dual-oracle registry
+(etl_geo_dem_spark.queries) — one entry per implemented operator from
+SURVEY.md §2 plus the training-data-pipeline operators (dedup, similarity,
+text analysis, multimodal). Entries without an oracle (mapInPandas-based
+multimodal plumbing) get the driver's rows-only check.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from etl_geo_dem_spark.queries import REGISTRY  # noqa: E402
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC last-writer-wins final state with tombstone semantics over
+    the sf0.001 events stream — scan → window dedup → delete filter → metrics
+    join (the engine's MERGE read path as one query)."""
+    from pyspark.sql import functions as F
+
+    from etl_geo_dem_spark.operators.lww import lww_winners_agg
+    from etl_geo_dem_spark.queries.registry import t
+
+    ev = t(spark, SF0001, "events")
+    winners = lww_winners_agg(ev, ["user_id"], ["ts", "event_id"])
+    live = winners.filter(F.col("event_type") != "error")  # tombstones drop out
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        live.join(counts, "user_id")
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_lsn"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            F.col("ts").alias("last_ts"),
+            "n_events",
+        )
+        .orderBy("user_id")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: q.fn for name, q in sorted(REGISTRY.items())}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every oracle-checkable query."""
+    return {name: q.oracle for name, q in sorted(REGISTRY.items()) if q.oracle is not None}

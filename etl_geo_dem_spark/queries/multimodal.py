@@ -1,0 +1,32 @@
+"""Multimodal pipeline queries — rows-only checks (mapInPandas is not
+SQL-expressible; the driver records the weaker rows-only result for these,
+per the contract in /root/repo/__spark_entry__.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_geo_dem_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_metadata,
+    sample_frames,
+)
+from etl_geo_dem_spark.queries.registry import register, t
+
+
+@register("multimodal_decode_metadata", oracle=None, tags=("multimodal", "pandas_udf", "P2"))
+def multimodal_decode_metadata(spark, sf_dir):
+    """Binary payload → Arrow-batched stub decode → typed metadata rows."""
+    d = attach_binary_payload(t(spark, sf_dir, "documents"))
+    return decode_metadata(d)
+
+
+@register("multimodal_frame_sample_stats", oracle=None, tags=("multimodal", "explode"))
+def multimodal_frame_sample_stats(spark, sf_dir):
+    """Frame sampling fan-out + per-doc frame accounting (pure Spark)."""
+    d = attach_binary_payload(t(spark, sf_dir, "documents"))
+    frames = sample_frames(d, every_n_bytes=64)
+    return frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.length("frame_bytes")).alias("total_bytes"),
+    )

@@ -1,0 +1,309 @@
+"""Text analysis + document deduplication over the ``documents`` table.
+
+The training-data-pipeline operator set: exact dedup, n-gram Jaccard near-dup,
+MinHash+LSH banding, SimHash, token counting, quality scoring, fingerprinting,
+language scoring. All pure pyspark.sql expressions (arrays + higher-order
+functions) with DuckDB list-comprehension oracles — no Python UDFs in any path.
+
+Cross-engine portability notes baked into the designs:
+- hash functions differ between engines, so every hash here is md5 (identical
+  hex both sides); MinHash minimizes md5 hex strings lexicographically.
+- the synthetic corpus shares one vocabulary across the ``lang`` values, so
+  language identification is implemented as a deterministic stopword-scoring
+  function (the honest heuristic), not a claimed-accuracy classifier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_geo_dem_spark.queries.registry import register, t
+
+# tokenization shared by every query: lowercase, split on non-alpha runs
+_TOKENIZE_SQL = "list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')"
+
+
+def _tokens(col="text"):
+    return F.filter(F.split(F.lower(F.col(col)), "[^a-z]+"), lambda x: x != "")
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+SELECT lang,
+       count(*) AS n_docs,
+       sum(len({_TOKENIZE_SQL}))::BIGINT AS total_tokens,
+       round(avg(len({_TOKENIZE_SQL})), 4) AS avg_tokens
+FROM documents GROUP BY lang
+""",
+    tags=("text", "tokens"),
+)
+def text_token_stats(spark, sf_dir):
+    """Whitespace/regex token counting per language (training-data token
+    accounting)."""
+    d = t(spark, sf_dir, "documents")
+    n = F.size(_tokens())
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n).cast("long").alias("total_tokens"),
+        F.round(F.avg(n), 4).alias("avg_tokens"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+SELECT doc_id,
+       length(text) AS n_chars_actual,
+       len(list_filter(string_split_regex(lower(text), '[^a-z]+'), x -> x <> '')) AS n_tokens,
+       len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                       x -> x IN ('the','a','of','and','to','in','is'))) AS n_stop,
+       round(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) * 1.0
+             / greatest(length(text), 1), 6) AS punct_ratio
+FROM documents
+""",
+    tags=("text", "quality"),
+)
+def text_quality_score(spark, sf_dir):
+    """Document quality signals: length, token count, stopword count,
+    punctuation ratio (the heuristics a pretraining filter runs)."""
+    d = t(spark, sf_dir, "documents")
+    toks = _tokens()
+    stopwords = ["the", "a", "of", "and", "to", "in", "is"]
+    n_stop = F.size(F.filter(_tokens(), lambda x: x.isin(stopwords)))
+    punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        F.size(toks).alias("n_tokens"),
+        n_stop.alias("n_stop"),
+        F.round(punct * 1.0 / F.greatest(F.length("text"), F.lit(1)), 6).alias("punct_ratio"),
+    )
+
+
+@register(
+    "text_lang_stopword_score",
+    oracle=f"""
+SELECT lang,
+       round(avg(len(list_filter({_TOKENIZE_SQL},
+                 x -> x IN ('the','data','value','table','row'))) * 1.0
+             / greatest(len({_TOKENIZE_SQL}), 1)), 6) AS en_marker_share
+FROM documents GROUP BY lang
+""",
+    tags=("text", "langid"),
+)
+def text_lang_stopword_score(spark, sf_dir):
+    """Language-ID heuristic scaffold: share of marker-stopword tokens per
+    declared language. (The synthetic corpus shares one vocabulary across
+    langs, so this validates the scoring machinery, not classifier accuracy.)"""
+    d = t(spark, sf_dir, "documents")
+    markers = ["the", "data", "value", "table", "row"]
+    toks = _tokens()
+    share = F.size(F.filter(toks, lambda x: x.isin(markers))) * 1.0 / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+    return d.groupBy("lang").agg(F.round(F.avg(share), 6).alias("en_marker_share"))
+
+
+@register(
+    "text_fingerprint_exact_dup",
+    oracle="""
+SELECT fp, count(*) AS n_docs, min(doc_id) AS keeper
+FROM (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents)
+GROUP BY fp HAVING count(*) > 1
+""",
+    tags=("text", "dedup", "fingerprint"),
+)
+def text_fingerprint_exact_dup(spark, sf_dir):
+    """Exact-duplicate detection by normalized-content fingerprint: md5 →
+    groupBy → keep min doc_id (hash-groupBy dedup; first-writer-wins J17)."""
+    d = t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return (
+        d.select("doc_id", fp.alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+@register(
+    "dedup_exact_survivors",
+    oracle="""
+SELECT count(*) AS n_docs,
+       count(DISTINCT md5(lower(trim(text)))) AS n_unique,
+       (count(*) - count(DISTINCT md5(lower(trim(text)))))::BIGINT AS n_removed
+FROM documents
+""",
+    tags=("dedup", "exact"),
+)
+def dedup_exact_survivors(spark, sf_dir):
+    """Exact dedup accounting: docs, distinct fingerprints, removals."""
+    d = t(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return d.select(fp.alias("fp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_removed"),
+    )
+
+
+# word-bigram shingles as SQL both engines agree on
+_SHINGLES_SQL = f"""
+list_transform(range(1, greatest(len({_TOKENIZE_SQL}), 1)),
+               i -> {_TOKENIZE_SQL}[i] || ' ' || {_TOKENIZE_SQL}[i+1])
+"""
+
+
+def _shingles():
+    toks = _tokens()
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0)))
+    return F.when(n >= 2, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
+    )).otherwise(F.array().cast("array<string>"))
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS s FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common * 1.0 / (sa.sz + sb.sz - common), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.8
+""",
+    tags=("dedup", "jaccard", "ngram"),
+)
+def dedup_ngram_jaccard_pairs(spark, sf_dir):
+    """Near-duplicate pairs by word-bigram Jaccard ≥ 0.8: explode distinct
+    shingles → self-equi-join on shingle (the inverted-index join — never the
+    naive doc×doc cross join) → |∩|/|∪|. At 100 TB the shingle join is the
+    scalable path: shuffle is bounded by postings, skew handled by AQE."""
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(F.array_distinct(_shingles())).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "s")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("common") * 1.0 / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# MinHash: per seed k, signature_k = min over shingles of md5(k || shingle) —
+# lexicographic min of hex strings is engine-portable.
+_N_HASHES = 6
+
+
+@register(
+    "dedup_minhash_lsh_candidates",
+    oracle=f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS s FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         {', '.join(f"min(md5('{k}|' || s)) AS h{k}" for k in range(_N_HASHES))}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, 0 AS band, h0 || h1 || h2 AS key FROM sig
+  UNION ALL
+  SELECT doc_id, 1 AS band, h3 || h4 || h5 AS key FROM sig
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(DISTINCT a.band) AS n_bands
+FROM bands a JOIN bands b ON a.key = b.key AND a.band = b.band AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+""",
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh_candidates(spark, sf_dir):
+    """MinHash(6) + LSH(2 bands × 3 rows) candidate pairs: shingle → per-seed
+    min-hash signature → band keys → bucket join. The 100 TB path: signatures
+    are one groupBy over postings; the candidate join touches only same-bucket
+    docs (no all-pairs)."""
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", F.explode(F.array_distinct(_shingles())).alias("s"))
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"{k}|"), F.col("s")))).alias(f"h{k}") for k in range(_N_HASHES)]
+    )
+    bands = sig.select(
+        "doc_id", F.lit(0).alias("band"), F.concat("h0", "h1", "h2").alias("key")
+    ).unionByName(
+        sig.select("doc_id", F.lit(1).alias("band"), F.concat("h3", "h4", "h5").alias("key"))
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("band").alias("n_bands"))
+    )
+
+
+@register(
+    "dedup_simhash_16bit",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_TOKENIZE_SQL})) AS w FROM documents
+),
+bits AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 4))::INT AS h FROM tok
+),
+votes AS (
+  SELECT doc_id,
+         {', '.join(f"sum(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(16))}
+  FROM bits GROUP BY doc_id
+)
+SELECT ({' + '.join(f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(16))})::BIGINT AS simhash,
+       count(*) AS n_docs
+FROM votes GROUP BY 1
+""",
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash_16bit(spark, sf_dir):
+    """16-bit SimHash per document (bit-majority over token md5 hashes),
+    grouped to find hash collisions. Portable across engines: the hash is the
+    first 16 bits of md5, bit tests are integer arithmetic."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("w"))
+    h = F.conv(F.substring(F.md5("w"), 1, 4), 16, 10).cast("int")
+    bits = tok.select("doc_id", h.alias("h"))
+    votes = bits.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.col("h").bitwiseAND(F.lit(1 << b))) != 0, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(16)
+        ]
+    )
+    simhash = None
+    for b in range(16):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    return votes.select(simhash.cast("long").alias("simhash")).groupBy("simhash").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
