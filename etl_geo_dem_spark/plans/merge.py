@@ -128,12 +128,19 @@ def apply_changes(
     batch_state = _to_state_shape(winners, evolved).withColumn(
         BUCKET_COL, bucket_expr(KEY_COLS[0], n_buckets)
     )
+    # the deduped batch has two consumers (touched-bucket derivation + the
+    # merge-write) — persist it once instead of recomputing the full dedup
+    # chain twice. MEMORY_AND_DISK: spills gracefully when an epoch's winners
+    # exceed memory at scale.
+    batch_state = batch_state.persist()
 
     # touched-partition derivation (SURVEY.md §4 "partition pruning before
     # execution") — bounded by n_buckets, safe to collect.
+    t_dedup0 = time.time()
     touched = sorted(
         r[0] for r in batch_state.select(BUCKET_COL).distinct().collect()
     )
+    t_dedup = time.time() - t_dedup0
 
     target = table.read(buckets=touched, include_deleted=True)
     for c in new_cols:  # union-by-name null-fill for pre-evolution state
@@ -150,7 +157,10 @@ def apply_changes(
     obs_out = Observation(f"epoch_{epoch_id}_out")
     merged = merged.observe(obs_out, F.count(F.lit(1)).alias("rows"))
 
+    t_write0 = time.time()
     new_files = table.write_data_files(merged)
+    t_write = time.time() - t_write0
+    batch_state.unpersist()
     carried = [f for f in snap["files"] if f["bucket"] not in set(touched)]
     version = table.commit(
         carried + new_files,
@@ -180,6 +190,11 @@ def apply_changes(
             for f in new_files
         },
         "duration_sec": round(time.time() - t0, 3),
+        "phase_sec": {
+            "dedup_and_prune": round(t_dedup, 3),
+            "merge_write": round(t_write, 3),
+            "commit_and_manifest": round(time.time() - t0 - t_dedup - t_write, 3),
+        },
         "parallelism": table.spark.sparkContext.defaultParallelism,
     }
     table.write_epoch_manifest(epoch_id, manifest)
