@@ -1,0 +1,81 @@
+"""spark-submit entrypoint: resumable multi-epoch CDC replay job.
+
+Cluster usage (BASELINE north_rule "run via spark-submit --py-files"):
+
+    zip -r engine.zip etl_geo_dem_spark
+    spark-submit --py-files engine.zip run_ingest.py \\
+        --table /lake/transcripts --source /wal/changes --n-buckets 4096
+
+Local/sandbox usage (also exercised by tests):
+
+    python run_ingest.py --table /tmp/wh/transcripts --synthetic 1000000
+
+The job is resumable from any point: committed epochs are skipped on metadata
+alone (the epoch watermark lives inside the atomic lake snapshot), so rerunning
+after a crash continues exactly where the last commit left off.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from etl_geo_dem_spark.config import EngineConfig
+from etl_geo_dem_spark.plans.lake_table import LakeTable
+from etl_geo_dem_spark.plans.merge import replay
+from etl_geo_dem_spark.schemas import CHANGE_SCHEMA, STATE_SCHEMA
+from etl_geo_dem_spark.session import get_spark
+from etl_geo_dem_spark.sources.changes import generate_changes
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--table", required=True, help="lake table path")
+    p.add_argument("--source", help="directory of change-event parquet (with an 'epoch' column)")
+    p.add_argument("--synthetic", type=int, help="generate N synthetic events instead of --source")
+    p.add_argument("--epochs", type=int, default=8)
+    p.add_argument("--n-buckets", type=int, default=32)
+    p.add_argument("--master", default=None)
+    p.add_argument("--strategy", default="agg", choices=["agg", "window", "salted_window"])
+    args = p.parse_args(argv)
+
+    spark = get_spark(master=args.master, app_name="cdc_ingest")
+    t = (
+        LakeTable.load(spark, args.table)
+        if LakeTable(spark, args.table).exists()
+        else LakeTable.create(spark, args.table, STATE_SCHEMA, n_buckets=args.n_buckets)
+    )
+    if args.synthetic:
+        changes = generate_changes(
+            spark, args.synthetic, n_conv=max(100, args.synthetic // 200),
+            n_epochs=args.epochs, evolve_from_epoch=max(1, args.epochs - 2),
+        )
+    elif args.source:
+        changes = spark.read.schema(CHANGE_SCHEMA).parquet(args.source)
+    else:
+        p.error("one of --source / --synthetic is required")
+
+    t0 = time.time()
+    manifests = replay(t, changes, EngineConfig(dedup_strategy=args.strategy, n_buckets=args.n_buckets))
+    wall = time.time() - t0
+    applied = sum(m.get("input_events", 0) for m in manifests)
+    print(
+        json.dumps(
+            {
+                "epochs_applied": len(manifests),
+                "events_applied": applied,
+                "wall_sec": round(wall, 2),
+                "events_per_sec": round(applied / wall, 1) if wall > 0 else None,
+                "snapshot_version": t.current_version(),
+                "last_epoch": t.last_epoch(),
+                "final_rows": t.read_public().count(),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
