@@ -1,0 +1,90 @@
+"""Manifest-source restart semantics + pathological-skew robustness."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from etl_geo_dem_spark.config import EngineConfig
+from etl_geo_dem_spark.operators.lww import lww_winners
+from etl_geo_dem_spark.operators.skew import detect_hot_keys
+from etl_geo_dem_spark.plans.lake_table import LakeTable
+from etl_geo_dem_spark.plans.merge import replay
+from etl_geo_dem_spark.schemas import CHANGE_SCHEMA, STATE_SCHEMA
+from etl_geo_dem_spark.sources.changes import generate_changes
+from etl_geo_dem_spark.sources.manifest import ingest_manifest, unapplied_paths
+
+
+def test_manifest_ingest_resumes_after_restart(spark, warehouse, tmp_path):
+    ch = generate_changes(spark, 900, n_conv=30, n_epochs=3)
+    paths = []
+    for e in range(3):
+        p = str(tmp_path / f"chunk_{e}.parquet")
+        ch.filter(F.col("epoch") == e).drop("epoch").withColumn(
+            "epoch", F.lit(e)
+        ).coalesce(1).write.mode("overwrite").parquet(p)
+        paths.append(p)
+    manifest = str(tmp_path / "MANIFEST.txt")
+    with open(manifest, "w") as f:
+        f.write("# change files\n" + "\n".join(paths[:2]) + "\n")
+
+    table = LakeTable.create(spark, os.path.join(warehouse, "m"), STATE_SCHEMA, n_buckets=8)
+    ms = ingest_manifest(spark, table, manifest, CHANGE_SCHEMA)
+    assert [m["status"] for m in ms] == ["committed", "committed"]
+    # restart with the same manifest: nothing to do
+    assert unapplied_paths(table, manifest) == []
+    assert ingest_manifest(spark, table, manifest, CHANGE_SCHEMA) == []
+    # manifest grows by one entry → exactly one new epoch
+    with open(manifest, "a") as f:
+        f.write(paths[2] + "\n")
+    ms2 = ingest_manifest(spark, table, manifest, CHANGE_SCHEMA)
+    assert len(ms2) == 1 and ms2[0]["status"] == "committed"
+    # final state equals a straight replay of all three chunks
+    t2 = LakeTable.create(spark, os.path.join(warehouse, "m2"), STATE_SCHEMA, n_buckets=8)
+    replay(t2, ch)
+    a = table.read_public().orderBy("conv_id", "turn_idx").toPandas()
+    b = t2.read_public().orderBy("conv_id", "turn_idx").toPandas()
+    assert a["text"].fillna("∅").tolist() == b["text"].fillna("∅").tolist()
+
+
+def _one_giant_key(spark, n=4000):
+    """50% of all events on a single conv_id — the worst-case hot key."""
+    base = generate_changes(spark, n // 2, n_conv=50, n_epochs=1)
+    hot = (
+        generate_changes(spark, n // 2, n_conv=50, n_epochs=1)
+        .withColumn("conv_id", F.lit("conv_hotspot"))
+        .withColumn("lsn", F.col("lsn") + n)
+    )
+    return base.unionByName(hot)
+
+
+def test_hot_key_detection_finds_giant_key(spark):
+    ch = _one_giant_key(spark)
+    hot = detect_hot_keys(ch, "conv_id", threshold_frac=0.05, sample_frac=1.0)
+    assert "conv_hotspot" in hot
+
+
+def test_all_strategies_agree_under_pathological_skew(spark):
+    ch = _one_giant_key(spark)
+    hot = detect_hot_keys(ch, "conv_id", threshold_frac=0.05, sample_frac=1.0)
+    outs = {}
+    for strat in ("agg", "window", "salted_window"):
+        df = lww_winners(ch, strategy=strat, hot_keys=hot if strat == "salted_window" else None)
+        outs[strat] = (
+            df.orderBy("conv_id", "turn_idx")
+            .select("conv_id", "turn_idx", "lsn", "text")
+            .toPandas()
+        )
+    assert outs["agg"].equals(outs["window"])
+    assert outs["agg"].equals(outs["salted_window"])
+
+
+def test_replay_with_salted_strategy_under_skew(spark, warehouse):
+    ch = _one_giant_key(spark).withColumn("epoch", F.lit(0))
+    ta = LakeTable.create(spark, os.path.join(warehouse, "sk_a"), STATE_SCHEMA, n_buckets=8)
+    tb = LakeTable.create(spark, os.path.join(warehouse, "sk_b"), STATE_SCHEMA, n_buckets=8)
+    replay(ta, ch, EngineConfig(dedup_strategy="agg"))
+    replay(tb, ch, EngineConfig(dedup_strategy="salted_window", hot_key_sample=1.0, hot_key_threshold=0.05))
+    a = ta.read_public().orderBy("conv_id", "turn_idx").toPandas()
+    b = tb.read_public().orderBy("conv_id", "turn_idx").toPandas()
+    assert a.equals(b)
+    assert (a["conv_id"] == "conv_hotspot").sum() > 0
