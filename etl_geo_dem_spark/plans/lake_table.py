@@ -302,6 +302,29 @@ class LakeTable:
                 shutil.rmtree(d)
         return removed
 
+    def expire_tombstones(self, below_lsn: int) -> int:
+        """GC delete markers older than a safety horizon.
+
+        Tombstones must outlive the maximum out-of-orderness of the stream
+        (they exist to beat late events in LWW — plans/merge.py). Once the
+        source guarantees no event below ``below_lsn`` can still arrive, the
+        markers are dead weight and compaction may drop them. Returns the new
+        snapshot version."""
+        df = self.read(include_deleted=True).filter(
+            ~(F.col("_deleted") & (F.col("lsn") < below_lsn))
+        )
+        key = self.key_col()
+        n = self.n_buckets()
+        files = self.write_data_files(df.withColumn(BUCKET_COL, bucket_expr(key, n)))
+        return self.commit(
+            files,
+            summary={
+                "operation": "expire_tombstones",
+                "epoch_id": self.last_epoch(),
+                "tombstone_horizon_lsn": below_lsn,
+            },
+        )
+
     def compact(self) -> int:
         """Rewrite current live state into one file per bucket (rewrite_data_files
         analog). Returns the new snapshot version."""

@@ -293,3 +293,29 @@ def test_empty_batch_commits_noop_epoch(spark, warehouse):
     assert m["input_events"] == 0
     assert table.last_epoch() == 0
     assert apply_changes(table, empty, 0)["status"] == "skipped"
+
+
+def test_expire_tombstones_respects_horizon(spark, warehouse):
+    """Tombstone GC drops only markers below the out-of-orderness horizon;
+    newer tombstones keep protecting against late resurrection."""
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(op, conv, ts_s, lsn, text=None):
+        return (op, conv, 0, None if op == "D" else "user",
+                text, None, t0 + datetime.timedelta(seconds=ts_s), lsn, 0)
+
+    table = _mk_table(spark, warehouse)
+    e0 = spark.createDataFrame(
+        [ev("I", "old", 1, 1, "a"), ev("D", "old", 2, 2),
+         ev("I", "new", 3, 100, "b"), ev("D", "new", 4, 101)],
+        CHANGE_SCHEMA,
+    )
+    apply_changes(table, e0, 0)
+    assert table.read(include_deleted=True).filter("_deleted").count() == 2
+    table.expire_tombstones(below_lsn=50)
+    dead = table.read(include_deleted=True).filter("_deleted").collect()
+    assert [r["conv_id"] for r in dead] == ["new"]  # old marker GC'd
+    # a late event older than the SURVIVING tombstone still loses
+    late = spark.createDataFrame([ev("U", "new", 3, 99, "zombie")], CHANGE_SCHEMA)
+    apply_changes(table, late, 1)
+    assert table.read_public().filter("conv_id='new'").count() == 0

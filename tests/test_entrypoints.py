@@ -1,0 +1,41 @@
+"""Driver-contract and CLI entrypoint smoke tests."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_spark_entry_contract(spark):
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as m
+
+    df = m.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns == ["user_id", "last_lsn", "last_type", "last_value", "last_ts", "n_events"]
+    qs, oq = m.queries(), m.oracle_sql()
+    assert len(qs) >= 60
+    assert set(oq) <= set(qs)
+    assert all(isinstance(v, str) and "SELECT" in v.upper() for v in oq.values())
+
+
+def test_run_ingest_cli_resumes(tmp_path):
+    """The spark-submit job applies synthetic epochs, then a rerun is a no-op
+    (resume from checkpoint on metadata alone)."""
+    table = str(tmp_path / "wh" / "transcripts")
+    cmd = [
+        sys.executable, os.path.join(REPO, "run_ingest.py"),
+        "--table", table, "--synthetic", "3000", "--epochs", "3",
+        "--n-buckets", "8", "--master", "local[4]",
+    ]
+    out1 = subprocess.run(cmd, capture_output=True, text=True, timeout=420)
+    r1 = json.loads([l for l in out1.stdout.splitlines() if l.startswith("{")][-1])
+    assert r1["epochs_applied"] == 3 and r1["final_rows"] > 0
+    out2 = subprocess.run(cmd, capture_output=True, text=True, timeout=420)
+    r2 = json.loads([l for l in out2.stdout.splitlines() if l.startswith("{")][-1])
+    assert r2["epochs_applied"] == 0  # everything already committed
+    assert r2["final_rows"] == r1["final_rows"]
+    assert r2["last_epoch"] == r1["last_epoch"] == 2
