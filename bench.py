@@ -80,7 +80,7 @@ def _warmup(spark, n_events: int, n_epochs: int) -> None:
             batch = ch.filter(F.col("epoch") == e)
             if e < max(1, n_epochs - 1) and "tool_args" in batch.columns:
                 batch = batch.drop("tool_args")
-            apply_changes(table, batch, e, EngineConfig(dedup_strategy="agg"))
+            apply_changes(table, batch, e, EngineConfig(dedup_strategy="agg", merge_mode=os.environ.get("SPARK_GRAFT_BENCH_MODE", "mor")))
         table.read_public().count()
     finally:
         shutil.rmtree(wh, ignore_errors=True)
@@ -101,7 +101,7 @@ def _one_replay(spark, n_events: int, n_epochs: int) -> dict:
             evolve_from_epoch=max(1, n_epochs - 1),
             n_partitions=64,  # fixed → identical input at any parallelism
         )
-        cfg = EngineConfig(dedup_strategy="agg", n_buckets=32)
+        cfg = EngineConfig(dedup_strategy="agg", n_buckets=32, merge_mode=os.environ.get("SPARK_GRAFT_BENCH_MODE", "mor"))
         t0 = time.time()
         applied = 0
         from pyspark.sql import functions as F
@@ -182,6 +182,7 @@ def main():
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(cpus),
         "n_events": n_events,
+        "merge_mode": os.environ.get("SPARK_GRAFT_BENCH_MODE", "mor"),
     }
     print(json.dumps(out))
 

@@ -31,5 +31,13 @@ class EngineConfig:
     hot_key_threshold: float = 0.01
     hot_key_sample: float = 0.1
     dedup_strategy: str = "agg"  # "agg" | "window" | "salted_window"
+    # merge_mode:
+    #   "cow" — copy-on-write: every epoch rewrites touched buckets; reads are
+    #           plain scans. Write amplification O(state per touched bucket).
+    #   "mor" — merge-on-read: every epoch appends per-bucket DELTA files
+    #           (O(batch) writes); reads resolve LWW over base ∪ deltas;
+    #           compaction folds deltas back into the base. The Iceberg
+    #           v2-style tradeoff, from scratch.
+    merge_mode: str = "cow"
     target_file_rows: int = 5_000_000
     extra: dict = field(default_factory=dict)

@@ -93,6 +93,8 @@ class LakeTable:
         schema: T.StructType,
         n_buckets: int = 32,
         key_col: str = "conv_id",
+        key_cols: list[str] | None = None,
+        order_cols: list[str] | None = None,
     ) -> "LakeTable":
         t = cls(spark, path)
         if t.exists():
@@ -108,6 +110,8 @@ class LakeTable:
                 "schema": json.loads(schema.json()),
                 "n_buckets": n_buckets,
                 "key_col": key_col,
+                "key_cols": key_cols or ["conv_id", "turn_idx"],
+                "order_cols": order_cols or ["ts", "lsn"],
                 "files": [],
                 "summary": {"operation": "create", "epoch_id": -1},
             }
@@ -161,12 +165,19 @@ class LakeTable:
         version: int | None = None,
         buckets: list[int] | None = None,
         include_deleted: bool = False,
+        resolve: bool = True,
     ) -> DataFrame:
         """Read the table (optionally one snapshot version / a bucket subset).
 
         Bucket pruning is metadata-only: the snapshot lists files per bucket, so a
         read of k touched buckets opens exactly those files — no scan of the rest
         (the engine's analog of Iceberg partition pruning).
+
+        Merge-on-read resolution: when the snapshot contains DELTA files
+        (merge_mode="mor" commits), the current row of a key is the LWW winner
+        over base ∪ deltas — resolved here with the same skew-free reduce the
+        write path uses. ``resolve=False`` returns raw stored rows (inspection/
+        compaction internals).
         """
         snap = self.snapshot(version)
         schema = T.StructType.fromJson(snap["schema"])
@@ -180,6 +191,15 @@ class LakeTable:
             # explicit schema: files written before a schema evolution lack the new
             # columns; the parquet reader null-fills by name (union-by-name read).
             df = self.spark.read.schema(schema).parquet(*[f["path"] for f in files])
+        has_deltas = any(f.get("kind", "base") == "delta" for f in files)
+        if resolve and has_deltas:
+            from etl_geo_dem_spark.operators.lww import lww_winners_agg
+
+            df = lww_winners_agg(
+                df,
+                snap.get("key_cols", ["conv_id", "turn_idx"]),
+                snap.get("order_cols", ["ts", "lsn"]),
+            )
         if not include_deleted and "_deleted" in df.columns:
             df = df.filter(~F.col("_deleted"))
         return df
@@ -190,7 +210,7 @@ class LakeTable:
         return df.drop("lsn", "_deleted")
 
     # ----------------------------------------------------------------- write
-    def write_data_files(self, df: DataFrame) -> list[dict[str, Any]]:
+    def write_data_files(self, df: DataFrame, kind: str = "base") -> list[dict[str, Any]]:
         """Write ``df`` (must carry ``_bucket``) into a fresh commit dir.
 
         Returns file descriptors with per-file row/byte counts taken from parquet
@@ -219,6 +239,7 @@ class LakeTable:
                 {
                     "path": p,
                     "bucket": bucket,
+                    "kind": kind,
                     "rows": pq.ParquetFile(p).metadata.num_rows,
                     "bytes": os.path.getsize(p),
                 }

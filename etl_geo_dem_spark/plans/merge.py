@@ -142,26 +142,32 @@ def apply_changes(
     )
     t_dedup = time.time() - t_dedup0
 
-    target = table.read(buckets=touched, include_deleted=True)
-    for c in new_cols:  # union-by-name null-fill for pre-evolution state
-        if c not in target.columns:
-            target = target.withColumn(c, F.lit(None).cast(dict(
-                (f.name, f.dataType) for f in evolved.fields)[c]))
-    target = target.select([f.name for f in evolved.fields]).withColumn(
-        BUCKET_COL, bucket_expr(KEY_COLS[0], n_buckets)
-    )
-
-    merged = lww_winners(
-        target.unionByName(batch_state), KEY_COLS, ORDER_COLS, strategy="agg"
-    )
     obs_out = Observation(f"epoch_{epoch_id}_out")
-    merged = merged.observe(obs_out, F.count(F.lit(1)).alias("rows"))
-
     t_write0 = time.time()
-    new_files = table.write_data_files(merged)
+    if cfg.merge_mode == "mor":
+        # merge-on-read: append the epoch's winners as DELTA files — O(batch)
+        # writes, no read of current state; the read path resolves LWW over
+        # base ∪ deltas (LakeTable.read). Compaction folds deltas back.
+        out = batch_state.observe(obs_out, F.count(F.lit(1)).alias("rows"))
+        new_files = table.write_data_files(out, kind="delta")
+        carried = snap["files"]  # nothing rewritten, everything carries over
+    else:
+        target = table.read(buckets=touched, include_deleted=True)
+        for c in new_cols:  # union-by-name null-fill for pre-evolution state
+            if c not in target.columns:
+                target = target.withColumn(c, F.lit(None).cast(dict(
+                    (f.name, f.dataType) for f in evolved.fields)[c]))
+        target = target.select([f.name for f in evolved.fields]).withColumn(
+            BUCKET_COL, bucket_expr(KEY_COLS[0], n_buckets)
+        )
+        merged = lww_winners(
+            target.unionByName(batch_state), KEY_COLS, ORDER_COLS, strategy="agg"
+        )
+        merged = merged.observe(obs_out, F.count(F.lit(1)).alias("rows"))
+        new_files = table.write_data_files(merged, kind="base")
+        carried = [f for f in snap["files"] if f["bucket"] not in set(touched)]
     t_write = time.time() - t_write0
     batch_state.unpersist()
-    carried = [f for f in snap["files"] if f["bucket"] not in set(touched)]
     version = table.commit(
         carried + new_files,
         summary={
@@ -183,6 +189,7 @@ def apply_changes(
         "touched_buckets": touched,
         "n_touched": len(touched),
         "schema_evolved": new_cols,
+        "merge_mode": cfg.merge_mode,
         "dedup_strategy": strategy,
         "hot_keys_detected": len(hot_keys) if hot_keys is not None else None,
         "lineage": {
