@@ -39,5 +39,8 @@ class EngineConfig:
     #           compaction folds deltas back into the base. The Iceberg
     #           v2-style tradeoff, from scratch.
     merge_mode: str = "cow"
+    # mor only: auto-fold a bucket's deltas back into its base once it
+    # accumulates this many delta files (bounds read amplification; 0 = never)
+    max_deltas_per_bucket: int = 16
     target_file_rows: int = 5_000_000
     extra: dict = field(default_factory=dict)

@@ -347,8 +347,9 @@ class LakeTable:
         )
 
     def compact(self) -> int:
-        """Rewrite current live state into one file per bucket (rewrite_data_files
-        analog). Returns the new snapshot version."""
+        """Rewrite current live state into one base file per bucket
+        (rewrite_data_files analog; folds merge-on-read deltas). Returns the
+        new snapshot version."""
         df = self.read(include_deleted=True)
         key = self.key_col()
         n = self.n_buckets()
@@ -359,5 +360,33 @@ class LakeTable:
                 "operation": "compact",
                 "epoch_id": self.last_epoch(),
                 "files": len(files),
+            },
+        )
+
+    def delta_counts(self) -> dict[int, int]:
+        """Number of delta files per bucket in the current snapshot."""
+        out: dict[int, int] = {}
+        for f in self.snapshot()["files"]:
+            if f.get("kind", "base") == "delta":
+                out[f["bucket"]] = out.get(f["bucket"], 0) + 1
+        return out
+
+    def compact_buckets(self, buckets: list[int]) -> int:
+        """Fold base∪deltas into one base file for ONLY the given buckets —
+        the bounded-read-amplification maintenance step for merge-on-read
+        (Iceberg rewrite_data_files with a partition filter, from scratch).
+        Untouched buckets' files carry over unchanged."""
+        wanted = set(buckets)
+        df = self.read(buckets=buckets, include_deleted=True)
+        key = self.key_col()
+        n = self.n_buckets()
+        new_files = self.write_data_files(df.withColumn(BUCKET_COL, bucket_expr(key, n)))
+        carried = [f for f in self.snapshot()["files"] if f["bucket"] not in wanted]
+        return self.commit(
+            carried + new_files,
+            summary={
+                "operation": "compact_buckets",
+                "epoch_id": self.last_epoch(),
+                "buckets": sorted(wanted),
             },
         )

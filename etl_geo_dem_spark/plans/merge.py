@@ -180,6 +180,17 @@ def apply_changes(
         schema=evolved,
     )
 
+    # bounded read amplification under merge-on-read: fold any bucket whose
+    # delta chain exceeded the policy (SURVEY §4 "data layout for reads")
+    compacted_buckets: list[int] = []
+    if cfg.merge_mode == "mor" and cfg.max_deltas_per_bucket > 0:
+        over = [
+            b for b, c in table.delta_counts().items() if c >= cfg.max_deltas_per_bucket
+        ]
+        if over:
+            table.compact_buckets(over)
+            compacted_buckets = sorted(over)
+
     manifest = {
         "epoch_id": epoch_id,
         "status": "committed",
@@ -190,6 +201,7 @@ def apply_changes(
         "n_touched": len(touched),
         "schema_evolved": new_cols,
         "merge_mode": cfg.merge_mode,
+        "compacted_buckets": compacted_buckets,
         "dedup_strategy": strategy,
         "hot_keys_detected": len(hot_keys) if hot_keys is not None else None,
         "lineage": {

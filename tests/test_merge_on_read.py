@@ -94,3 +94,23 @@ def test_mor_resume_and_delete_semantics(spark, warehouse):
     assert got["text"].fillna("∅").tolist() == [
         r["text"] if r["text"] is not None else "∅" for r in exp
     ]
+
+
+def test_mor_auto_compaction_bounds_delta_chains(spark, warehouse):
+    """With max_deltas_per_bucket=3, a long replay keeps every bucket's delta
+    chain bounded and the state stays oracle-correct."""
+    cfg = EngineConfig(merge_mode="mor", max_deltas_per_bucket=3)
+    ch = generate_changes(spark, 4000, n_conv=40, n_epochs=10, evolve_from_epoch=None)
+    table = LakeTable.create(spark, os.path.join(warehouse, "morauto"), STATE_SCHEMA, n_buckets=4)
+    for e, b in epoch_batches(ch):
+        apply_changes(table, b, e, cfg)
+    counts = table.delta_counts()
+    assert all(c < 3 + 1 for c in counts.values())  # folded whenever >= 3
+    assert any(m["compacted_buckets"] for m in table.read_epoch_manifests())
+    from etl_geo_dem_spark.oracle.replayer import replay_reference
+
+    exp = replay_reference([r.asDict() for r in ch.collect()])
+    got = _state(table)
+    assert got["text"].fillna("∅").tolist() == [
+        r["text"] if r["text"] is not None else "∅" for r in exp
+    ]
