@@ -39,3 +39,26 @@ def test_run_ingest_cli_resumes(tmp_path):
     assert r2["epochs_applied"] == 0  # everything already committed
     assert r2["final_rows"] == r1["final_rows"]
     assert r2["last_epoch"] == r1["last_epoch"] == 2
+
+
+def test_sql_serving_view(spark, tmp_path):
+    """Serving path (SURVEY §3.3): point lookups as plain spark.sql against a
+    registered view of the live table state."""
+    from etl_geo_dem_spark.config import EngineConfig
+    from etl_geo_dem_spark.functions.keys import register_sql_views
+    from etl_geo_dem_spark.plans.lake_table import LakeTable
+    from etl_geo_dem_spark.plans.merge import apply_changes
+    from etl_geo_dem_spark.schemas import STATE_SCHEMA
+    from etl_geo_dem_spark.sources.changes import generate_changes
+
+    path = str(tmp_path / "serve" / "transcripts")
+    table = LakeTable.create(spark, path, STATE_SCHEMA, n_buckets=4)
+    ch = generate_changes(spark, 800, n_conv=20, n_epochs=1)
+    apply_changes(table, ch, 0, EngineConfig(merge_mode="mor"))
+    register_sql_views(spark, path)
+    rows = spark.sql(
+        "SELECT turn_idx, text FROM transcripts WHERE conv_id = 'conv_000001' ORDER BY turn_idx"
+    ).collect()
+    assert len(rows) > 0 and all(r["text"] is not None for r in rows)
+    total = spark.sql("SELECT count(*) AS n FROM transcripts").collect()[0]["n"]
+    assert total == table.read_public().count()
