@@ -13,13 +13,17 @@ Three physical strategies for the same logical result:
                key's millions of events collapse to one row per map task — this is
                the skew-free default and the plan you want at 10^10 events.
 - ``window``   ``row_number() over (partition by key order by ts desc, lsn desc) = 1``.
-               The textbook formulation; all rows of a key shuffle to one task, so
-               hot keys serialize. Kept for parity tests and for payloads where a
-               full-row rank is clearer.
+               On Spark ≥ 3.5 Catalyst rewrites the rank-1 filter into
+               ``WindowGroupLimit ... Partial`` BELOW the shuffle — each map task
+               forwards only its local winner per key, so this formulation is
+               skew-safe too (measured: a 24M-row single hot key costs the same
+               as uniform data; BENCH/SKEW.md).
 - ``salted_window``  two-stage: explicit salt on detected hot keys → rank inside
                ``(key, salt)`` → re-rank the per-salt winners inside ``key``. The
                BASELINE-mandated skew defeat (the gap the reference's count-balanced
                ``split_list`` never fixed, `pipeline_transform_vrt_gdal.py:41-62`).
+               Retained for the cases the built-in rewrites don't cover (rank ≤ k
+               with ties, engines without WindowGroupLimit, skewed joins).
 
 All three are pure pyspark.sql expressions — no Python in the hot path.
 """
