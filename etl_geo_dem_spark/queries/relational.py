@@ -684,18 +684,19 @@ def setop_intersect(spark, sf_dir):
 @register(
     "setop_except_pairs",
     oracle="""
-SELECT DISTINCT user_id, event_type FROM events WHERE event_id < 300
+SELECT DISTINCT user_id, floor(value)::INT AS vband FROM events WHERE event_id < 2000
 EXCEPT
-SELECT DISTINCT user_id, event_type FROM events WHERE event_id >= 300
+SELECT DISTINCT user_id, floor(value)::INT FROM events WHERE event_id >= 2000
 """,
     tags=("setop", "U5", "U6"),
 )
 def setop_except_pairs(spark, sf_dir):
-    """EXCEPT — keys seen early but never again (the anti-list comprehension,
-    `pipeline_flows.py:220`, U5)."""
+    """EXCEPT — (key, value-band) pairs seen early but never again (the
+    anti-list comprehension, `pipeline_flows.py:220`, U5)."""
     ev = t(spark, sf_dir, "events")
-    a = ev.filter(F.col("event_id") < 300).select("user_id", "event_type").distinct()
-    b = ev.filter(F.col("event_id") >= 300).select("user_id", "event_type").distinct()
+    vband = F.floor("value").cast("int").alias("vband")
+    a = ev.filter(F.col("event_id") < 2000).select("user_id", vband).distinct()
+    b = ev.filter(F.col("event_id") >= 2000).select("user_id", vband).distinct()
     return a.subtract(b)
 
 

@@ -108,18 +108,22 @@ def text_lang_stopword_score(spark, sf_dir):
 
 @register(
     "text_fingerprint_exact_dup",
-    oracle="""
+    oracle=f"""
 SELECT fp, count(*) AS n_docs, min(doc_id) AS keeper
-FROM (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents)
+FROM (SELECT doc_id,
+             md5(array_to_string({_TOKENIZE_SQL}[1:5], ' ')) AS fp
+      FROM documents)
 GROUP BY fp HAVING count(*) > 1
 """,
     tags=("text", "dedup", "fingerprint"),
 )
 def text_fingerprint_exact_dup(spark, sf_dir):
-    """Exact-duplicate detection by normalized-content fingerprint: md5 →
+    """Content fingerprinting: md5 over the normalized 5-token prefix (a canopy
+    fingerprint — the corpus has no byte-exact duplicates, so whole-text md5
+    finds nothing; the prefix canopy groups near-identical openings) →
     groupBy → keep min doc_id (hash-groupBy dedup; first-writer-wins J17)."""
     d = t(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    fp = F.md5(F.concat_ws(" ", F.slice(_tokens(), 1, 5)))
     return (
         d.select("doc_id", fp.alias("fp"))
         .groupBy("fp")
