@@ -88,3 +88,36 @@ def test_replay_with_salted_strategy_under_skew(spark, warehouse):
     b = tb.read_public().orderBy("conv_id", "turn_idx").toPandas()
     assert a.equals(b)
     assert (a["conv_id"] == "conv_hotspot").sum() > 0
+
+
+def test_debezium_envelope_adapter(spark, warehouse, tmp_path):
+    """Debezium c/u/d/r envelopes normalize to CHANGE shape and replay
+    correctly (delete keyed from the before-image; r treated as insert)."""
+    import json as _json
+
+    from etl_geo_dem_spark.sources.debezium import read_debezium_json
+
+    events = [
+        {"op": "r", "ts_ms": 1000, "before": None,
+         "after": {"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "snap", "tool": None},
+         "source": {"lsn": 1, "db": "d", "table": "t"}},
+        {"op": "c", "ts_ms": 2000, "before": None,
+         "after": {"conv_id": "c1", "turn_idx": 1, "role": "assistant", "text": "v1", "tool": None},
+         "source": {"lsn": 2, "db": "d", "table": "t"}},
+        {"op": "u", "ts_ms": 3000, "before": None,
+         "after": {"conv_id": "c1", "turn_idx": 1, "role": "assistant", "text": "v2", "tool": None},
+         "source": {"lsn": 3, "db": "d", "table": "t"}},
+        {"op": "d", "ts_ms": 4000,
+         "before": {"conv_id": "c1", "turn_idx": 0, "role": None, "text": None, "tool": None},
+         "after": None, "source": {"lsn": 4, "db": "d", "table": "t"}},
+    ]
+    p = tmp_path / "dbz.jsonl"
+    p.write_text("\n".join(_json.dumps(e) for e in events))
+
+    changes = read_debezium_json(spark, str(p), epoch=0)
+    table = LakeTable.create(spark, os.path.join(warehouse, "dbz"), STATE_SCHEMA, n_buckets=4)
+    from etl_geo_dem_spark.plans.merge import apply_changes
+
+    apply_changes(table, changes, 0)
+    rows = {(r["conv_id"], r["turn_idx"]): r["text"] for r in table.read_public().collect()}
+    assert rows == {("c1", 1): "v2"}  # turn 0 deleted, turn 1 updated
