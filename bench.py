@@ -131,7 +131,14 @@ def bench_replay(spark, n_events: int, n_epochs: int, repeats: int = 3) -> dict:
     Single-run timings at high thread counts vary 2-3× (JIT/GC ramp inside one
     JVM, measured in BENCH/BASELINE.md) — the best of k repetitions is the
     steady-state throughput a long-running ingest job sustains."""
-    runs = [_one_replay(spark, n_events, n_epochs) for _ in range(repeats)]
+    runs = []
+    for _ in range(repeats):
+        runs.append(_one_replay(spark, n_events, n_epochs))
+        # shuffle files from prior runs are only released when the JVM GCs the
+        # DataFrame references (ContextCleaner is GC-driven) — force it so
+        # repetitions don't degrade each other
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
     best = max(runs, key=lambda r: r["events_per_sec"])
     return {**best, "runs_events_per_sec": [r["events_per_sec"] for r in runs]}
 

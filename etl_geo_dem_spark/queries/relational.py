@@ -888,3 +888,65 @@ def scalar_size_labels(spark, sf_dir):
             F.format_string("%d chars", F.sum("n_chars").cast("int")).alias("human"),
         )
     )
+
+
+@register(
+    "agg_rollup_hierarchy",
+    oracle="""
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       count(*) AS n_customers,
+       round(sum(c_acctbal), 2) AS total_bal
+FROM customer c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    tags=("agg", "rollup"),
+)
+def agg_rollup_hierarchy(spark, sf_dir):
+    """Hierarchical ROLLUP totals (region → nation → grand total) — beyond the
+    reference's operator set (SURVEY §2.4 notes it absent) but table stakes for
+    an analytics engine; null grouping rows are labeled to match the oracle."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_customers",
+            "total_bal",
+        )
+    )
+
+
+@register(
+    "agg_pivot_status_by_priority",
+    oracle="""
+SELECT o_orderpriority,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_open,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_finished,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_partial
+FROM orders GROUP BY o_orderpriority
+""",
+    tags=("agg", "pivot"),
+)
+def agg_pivot_status_by_priority(spark, sf_dir):
+    """Pivot (wide conditional aggregation) of order status by priority —
+    expressed portably as conditional sums (Spark .pivot() produces the same
+    plan shape; the explicit form keeps the oracle engine-agnostic)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("n_open"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("n_finished"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("n_partial"),
+    )
