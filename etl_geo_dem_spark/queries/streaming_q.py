@@ -1,0 +1,68 @@
+"""Streaming-semantics queries for the driver registry.
+
+- The tumbling-window aggregation is the BATCH expression of the engine's
+  watermarked streaming aggregate (streaming/ingest.windowed_change_rates) —
+  identical grouping semantics, so it is DuckDB-oracle-checkable (Spark
+  `window()` and DuckDB `time_bucket()` both align buckets to the Unix epoch).
+- The end-to-end replay smoke runs the ACTUAL engine (generate → MOR MERGE →
+  snapshot commits → resolved read) inside the query and returns the final
+  public table: the driver's rows-only check then exercises the whole ingest
+  path every round, not just its pieces.
+"""
+
+from __future__ import annotations
+
+import os
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from etl_geo_dem_spark.queries.registry import register, t
+
+
+@register(
+    "streaming_window_tumbling",
+    oracle="""
+SELECT time_bucket(INTERVAL '10 minutes', ts)::TIMESTAMP AS win_start,
+       event_type,
+       count(*) AS n,
+       max(event_id) AS max_lsn
+FROM events
+GROUP BY 1, 2
+""",
+    tags=("streaming", "window", "T4", "T7"),
+)
+def streaming_window_tumbling(spark, sf_dir):
+    """Tumbling 10-minute event-time windows per type — the batch semantics of
+    the engine's watermarked streaming rates (`windowed_change_rates`)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("event_id").alias("max_lsn"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n", "max_lsn")
+    )
+
+
+@register("cdc_engine_replay_smoke", oracle=None, tags=("cdc", "engine", "e2e"))
+def cdc_engine_replay_smoke(spark, sf_dir):
+    """End-to-end engine smoke: deterministic 20k-event stream → 3-epoch
+    merge-on-read replay (schema evolution in the last epoch) into a temp lake
+    table → resolved final state returned. Rows-only driver check — but the
+    pytest suite asserts this exact pipeline equals the Python oracle."""
+    from etl_geo_dem_spark.config import EngineConfig
+    from etl_geo_dem_spark.plans.lake_table import LakeTable
+    from etl_geo_dem_spark.plans.merge import apply_changes
+    from etl_geo_dem_spark.schemas import STATE_SCHEMA
+    from etl_geo_dem_spark.sources.changes import epoch_batches, generate_changes
+
+    # the scratch table intentionally outlives the call (a cached result whose
+    # backing files were deleted would break on cache eviction); a few MB in
+    # the system tempdir per invocation.
+    wh = tempfile.mkdtemp(prefix="q_smoke_")
+    table = LakeTable.create(spark, os.path.join(wh, "t"), STATE_SCHEMA, n_buckets=8)
+    ch = generate_changes(spark, 20_000, n_conv=200, n_epochs=3, evolve_from_epoch=2)
+    cfg = EngineConfig(merge_mode="mor")
+    for e, b in epoch_batches(ch, evolve_from_epoch=2):
+        apply_changes(table, b, e, cfg)
+    return table.read_public().orderBy("conv_id", "turn_idx")
