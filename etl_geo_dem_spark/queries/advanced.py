@@ -132,6 +132,6 @@ def udf_vectorized_normalize(spark, sf_dir):
     norm = d.select("doc_id", normalize("text").alias("nt"))
     return norm.select(
         "doc_id",
-        F.length("nt").alias("norm_len"),
+        F.length("nt").cast("long").alias("norm_len"),
         F.substring("nt", 1, 30).alias("norm_head"),
     )

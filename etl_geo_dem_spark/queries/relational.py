@@ -573,7 +573,7 @@ def window_topk_per_group(spark, sf_dir):
     return (
         ev.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
-        .select("event_type", "event_id", "value", "rnk")
+        .select("event_type", "event_id", "value", F.col("rnk").cast("long").alias("rnk"))
     )
 
 
@@ -753,7 +753,7 @@ def scalar_string_suite(spark, sf_dir):
         F.lpad(F.regexp_extract("p_brand", r"(\d+)", 1), 3, "0").alias("brand_num"),
         F.format_string("key_%05d", "p_partkey").alias("formatted"),
         F.upper(F.substring("p_name", 1, 4)).alias("head4"),
-        F.length("p_name").alias("name_len"),
+        F.length("p_name").cast("long").alias("name_len"),
     )
 
 

@@ -75,9 +75,9 @@ def text_quality_score(spark, sf_dir):
     punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
     return d.select(
         "doc_id",
-        F.length("text").alias("n_chars_actual"),
-        F.size(toks).alias("n_tokens"),
-        n_stop.alias("n_stop"),
+        F.length("text").cast("long").alias("n_chars_actual"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        n_stop.cast("long").alias("n_stop"),
         F.round(punct * 1.0 / F.greatest(F.length("text"), F.lit(1)), 6).alias("punct_ratio"),
     )
 
