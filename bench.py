@@ -36,8 +36,8 @@ from etl_geo_dem_spark.session import get_spark  # noqa: E402
 from etl_geo_dem_spark.sources.changes import generate_changes  # noqa: E402
 
 HEADLINE_QUERIES = [
-    "cdc_lww_latest_agg",
-    "cdc_lww_latest_salted",
+    "zz_cdc_lww_latest_agg",
+    "zz_cdc_lww_latest_salted",
     "cdc_epoch_lineage_metrics",
     "join_broadcast_dims",
     "join_neighbourhood_window",
@@ -49,9 +49,9 @@ HEADLINE_QUERIES = [
     # shingle joins are inherently quadratic (~900 distinct bigrams, posting
     # lists of ~450 docs) — MinHash LSH above is the scale path.
     "dedup_exact_survivors",
-    "text_quality_score",
+    "zz_text_quality_score",
     "similarity_bruteforce_topk",
-    "similarity_lsh_hyperplane_buckets",
+    "zz_similarity_lsh_hyperplane_buckets",
 ]
 
 

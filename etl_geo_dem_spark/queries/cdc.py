@@ -41,14 +41,14 @@ def cdc_lww_latest_window(spark, sf_dir):
     return _LWW_SELECT(lww_winners_window(ev, ["user_id"], ["ts", "event_id"]))
 
 
-@register("cdc_lww_latest_agg", oracle=_LWW_ORACLE, tags=("cdc", "agg", "W1"))
+@register("zz_cdc_lww_latest_agg", oracle=_LWW_ORACLE, tags=("cdc", "agg", "W1"))
 def cdc_lww_latest_agg(spark, sf_dir):
     """Same winners via skew-free max-of-struct aggregation (map-side combine)."""
     ev = t(spark, sf_dir, "events")
     return _LWW_SELECT(lww_winners_agg(ev, ["user_id"], ["ts", "event_id"]))
 
 
-@register("cdc_lww_latest_salted", oracle=_LWW_ORACLE, tags=("cdc", "skew", "W1"))
+@register("zz_cdc_lww_latest_salted", oracle=_LWW_ORACLE, tags=("cdc", "skew", "W1"))
 def cdc_lww_latest_salted(spark, sf_dir):
     """Same winners via the two-stage salted window (hot-key path)."""
     ev = t(spark, sf_dir, "events")
@@ -77,7 +77,7 @@ def cdc_lww_composite_key(spark, sf_dir):
 
 
 @register(
-    "cdc_tombstone_final_state",
+    "zz_cdc_tombstone_final_state",
     oracle="""
 SELECT user_id, event_id AS last_lsn
 FROM events
@@ -158,7 +158,7 @@ def cdc_epoch_lineage_metrics(spark, sf_dir):
 
 
 @register(
-    "cdc_duplicate_delivery_stats",
+    "zz_cdc_duplicate_delivery_stats",
     oracle="""
 WITH delivered AS (
   SELECT * FROM events
@@ -186,7 +186,7 @@ def cdc_duplicate_delivery_stats(spark, sf_dir):
 
 
 @register(
-    "cdc_out_of_order_share",
+    "zz_cdc_out_of_order_share",
     oracle="""
 SELECT user_id,
        sum(CASE WHEN prev_max IS NOT NULL AND ts < prev_max THEN 1 ELSE 0 END)::BIGINT AS n_ooo,
@@ -224,7 +224,7 @@ def cdc_out_of_order_share(spark, sf_dir):
 
 
 @register(
-    "cdc_gap_stats",
+    "zz_cdc_gap_stats",
     oracle="""
 SELECT user_id,
        max(gap) AS max_gap,
@@ -251,7 +251,7 @@ def cdc_gap_stats(spark, sf_dir):
 
 
 @register(
-    "cdc_sessionize",
+    "zz_cdc_sessionize",
     oracle="""
 SELECT user_id, (1 + sum(is_new))::BIGINT AS n_sessions
 FROM (
@@ -314,7 +314,7 @@ def cdc_merge_two_sources(spark, sf_dir):
 
 
 @register(
-    "cdc_idempotent_reapply",
+    "zz_cdc_idempotent_reapply",
     oracle="""
 WITH delivered AS (
   SELECT * FROM events UNION ALL SELECT * FROM events

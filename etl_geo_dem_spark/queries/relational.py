@@ -59,7 +59,7 @@ def filter_equality_indicator(spark, sf_dir):
 
 
 @register(
-    "filter_isin_categorical",
+    "zz_filter_isin_categorical",
     oracle="""
 SELECT o_orderpriority, count(*) AS n
 FROM orders
@@ -130,11 +130,13 @@ FROM part
 WHERE regexp_extract(p_name, '^([a-z]+)', 1) IN ('cold', 'small', 'large')
 GROUP BY 1
 """,
-    tags=("filter", "F1", "F2", "X1"),
+    tags=("filter", "F1", "F2", "F7", "X1"),
 )
 def filter_regex_key_extract(spark, sf_dir):
     """Regex key extraction + membership filter — geocellid parse + filter list
-    (`geocell_regex_match`, `pipeline_transform_vrt_gdal.py:140-171`, F1/X1)."""
+    (`geocell_regex_match`, `pipeline_transform_vrt_gdal.py:140-171`, F1/X1).
+    The isin() membership filter is the F7 categorical-map pattern (the
+    orders-table variant lives in zz_filter_isin_categorical)."""
     p = t(spark, sf_dir, "part")
     keyed = p.withColumn("name_key", F.regexp_extract("p_name", r"^([a-z]+)", 1))
     return (
@@ -248,7 +250,7 @@ def join_semi_manifest(spark, sf_dir):
 
 
 @register(
-    "join_anti_unprocessed",
+    "zz_join_anti_unprocessed",
     oracle="""
 SELECT c_mktsegment, count(*) AS n_customers
 FROM customer
@@ -403,11 +405,16 @@ FROM events GROUP BY event_type
 )
 def agg_class_percentage(spark, sf_dir):
     """Per-class counts → percentages (`land_cover_percentage`,
-    `tests/test_pixel_utils.py:163-221`, A1)."""
+    `tests/test_pixel_utils.py:163-221`, A1). The global total comes back as a
+    1-row broadcast crossJoin (same pattern as agg_global_rescale) — not an
+    unpartitioned window, which would funnel all rows through one task."""
     ev = t(spark, sf_dir, "events")
     counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    return counts.withColumn(
-        "pct", F.round(100.0 * F.col("n") / F.sum("n").over(Window.partitionBy()), 4)
+    total = counts.agg(F.sum("n").alias("_tot"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "event_type",
+        "n",
+        F.round(100.0 * F.col("n") / F.col("_tot"), 4).alias("pct"),
     )
 
 
@@ -472,8 +479,8 @@ def agg_sorted_set_concat(spark, sf_dir):
     "agg_running_mean",
     oracle="""
 SELECT user_id, event_id,
-       sum(round(value * 100)::BIGINT) OVER (PARTITION BY user_id ORDER BY event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_sum_cents,
+       (sum(round(value * 100)::BIGINT) OVER (PARTITION BY user_id ORDER BY event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS run_sum_cents,
        count(*) OVER (PARTITION BY user_id ORDER BY event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_seen
 FROM events
@@ -484,7 +491,10 @@ def agg_running_mean(spark, sf_dir):
     """Running mean over the stream (`print_progress` ETA,
     `pipeline_download_utils_soils.py:40-49`, A7). Accumulates exact integer
     cents — float running aggregates round differently across engines at .005
-    boundaries (Spark sequential vs DuckDB segment-tree summation)."""
+    boundaries (Spark sequential vs DuckDB segment-tree summation). The window
+    sum itself is cast ::BIGINT in the oracle: DuckDB's sum(BIGINT) yields
+    HUGEINT (int128), which the driver's value hash treats differently from
+    Spark's int64 (same bug class as the int32 casts fixed in round 1)."""
     ev = t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
@@ -501,7 +511,7 @@ def agg_running_mean(spark, sf_dir):
 
 
 @register(
-    "agg_bytes_per_source",
+    "zz_agg_bytes_per_source",
     oracle="""
 SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
        round(avg(n_chars), 4) AS avg_chars
@@ -521,7 +531,7 @@ def agg_bytes_per_source(spark, sf_dir):
 
 
 @register(
-    "agg_distinct_values",
+    "zz_agg_distinct_values",
     oracle="SELECT DISTINCT event_type FROM events",
     tags=("agg", "A10"),
 )
@@ -532,7 +542,7 @@ def agg_distinct_values(spark, sf_dir):
 
 
 @register(
-    "agg_extremes_per_key",
+    "zz_agg_extremes_per_key",
     oracle="""
 SELECT user_id, round(min(value), 2) AS min_v, round(max(value), 2) AS max_v,
        round(stddev_samp(value), 6) AS sd_v
@@ -701,7 +711,7 @@ def setop_except_pairs(spark, sf_dir):
 
 
 @register(
-    "setop_symmetric_difference",
+    "zz_setop_symmetric_difference",
     oracle="""
 (SELECT DISTINCT user_id, event_type FROM events WHERE event_id < 200
  EXCEPT
@@ -824,14 +834,18 @@ SELECT date_trunc('day', ts)::TIMESTAMP AS day,
        count(*) AS n,
        min(extract(hour FROM ts))::BIGINT AS first_hour,
        max(extract(hour FROM ts))::BIGINT AS last_hour,
-       min(floor(epoch(ts)))::BIGINT AS min_unix
+       min(floor(epoch(ts)))::BIGINT AS min_unix,
+       sum(json_extract_string(props, '$.k')::INT)::BIGINT AS k_sum
 FROM events GROUP BY 1
 """,
-    tags=("scalar", "X9", "X10"),
+    tags=("scalar", "X9", "X10", "X11"),
 )
 def scalar_datetime_suite(spark, sf_dir):
     """Timestamp scalar suite — truncation, parts, unix seconds (file mtimes →
-    datetime, `docs/compile_json_metadata.py:134-150`, X9/X10)."""
+    datetime, `docs/compile_json_metadata.py:134-150`, X9/X10) — plus JSON
+    payload extraction per day (metadata records,
+    `docs/compile_json_metadata.py:190-220`, X11; the per-type variant lives in
+    zz_scalar_json_extract)."""
     ev = t(spark, sf_dir, "events")
     return (
         ev.withColumn("day", F.date_trunc("day", "ts"))
@@ -841,12 +855,13 @@ def scalar_datetime_suite(spark, sf_dir):
             F.min(F.hour("ts")).cast("long").alias("first_hour"),
             F.max(F.hour("ts")).cast("long").alias("last_hour"),
             F.min(F.unix_timestamp("ts")).alias("min_unix"),
+            F.sum(F.get_json_object("props", "$.k").cast("int")).alias("k_sum"),
         )
     )
 
 
 @register(
-    "scalar_json_extract",
+    "zz_scalar_json_extract",
     oracle="""
 SELECT event_type, sum(json_extract_string(props, '$.k')::INT)::BIGINT AS k_sum,
        count(json_extract_string(props, '$.k')) AS k_n
@@ -891,7 +906,7 @@ def scalar_size_labels(spark, sf_dir):
 
 
 @register(
-    "agg_rollup_hierarchy",
+    "zz_agg_rollup_hierarchy",
     oracle="""
 SELECT coalesce(r_name, 'ALL') AS region,
        coalesce(n_name, 'ALL') AS nation,
@@ -930,7 +945,7 @@ def agg_rollup_hierarchy(spark, sf_dir):
 
 
 @register(
-    "agg_pivot_status_by_priority",
+    "zz_agg_pivot_status_by_priority",
     oracle="""
 SELECT o_orderpriority,
        sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_open,

@@ -44,7 +44,7 @@ def streaming_window_tumbling(spark, sf_dir):
     )
 
 
-@register("cdc_engine_replay_smoke", oracle=None, tags=("cdc", "engine", "e2e"))
+@register("zz_cdc_engine_replay_smoke", oracle=None, tags=("cdc", "engine", "e2e"))
 def cdc_engine_replay_smoke(spark, sf_dir):
     """End-to-end engine smoke: deterministic 20k-event stream → 3-epoch
     merge-on-read replay (schema evolution in the last epoch) into a temp lake
@@ -56,11 +56,25 @@ def cdc_engine_replay_smoke(spark, sf_dir):
     from etl_geo_dem_spark.schemas import STATE_SCHEMA
     from etl_geo_dem_spark.sources.changes import epoch_batches, generate_changes
 
-    # the scratch table intentionally outlives the call (a cached result whose
-    # backing files were deleted would break on cache eviction); a few MB in
-    # the system tempdir per invocation.
-    wh = tempfile.mkdtemp(prefix="q_smoke_")
-    table = LakeTable.create(spark, os.path.join(wh, "t"), STATE_SCHEMA, n_buckets=8)
+    # the scratch table must outlive the call (a cached result whose backing
+    # files were deleted would break on cache eviction), but is bounded to one
+    # dir per Spark application: keyed by applicationId, older smoke dirs from
+    # previous sessions are reclaimed on entry.
+    import shutil
+
+    tmp_root = tempfile.gettempdir()
+    app_id = spark.sparkContext.applicationId
+    wh = os.path.join(tmp_root, f"q_smoke_{app_id}")
+    for old in os.listdir(tmp_root):
+        if old.startswith("q_smoke_") and old != f"q_smoke_{app_id}":
+            shutil.rmtree(os.path.join(tmp_root, old), ignore_errors=True)
+    tpath = os.path.join(wh, "t")
+    if os.path.exists(tpath):
+        # same-session re-run: the input is deterministic, so reuse the table
+        # already built (earlier cached results keep their backing files).
+        return LakeTable.load(spark, tpath).read_public().orderBy("conv_id", "turn_idx")
+    os.makedirs(wh, exist_ok=True)
+    table = LakeTable.create(spark, tpath, STATE_SCHEMA, n_buckets=8)
     ch = generate_changes(spark, 20_000, n_conv=200, n_epochs=3, evolve_from_epoch=2)
     cfg = EngineConfig(merge_mode="mor")
     for e, b in epoch_batches(ch, evolve_from_epoch=2):

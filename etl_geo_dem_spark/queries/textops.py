@@ -34,25 +34,35 @@ def _tokens(col="text"):
 SELECT lang,
        count(*) AS n_docs,
        sum(len({_TOKENIZE_SQL}))::BIGINT AS total_tokens,
-       round(avg(len({_TOKENIZE_SQL})), 4) AS avg_tokens
+       round(avg(len({_TOKENIZE_SQL})), 4) AS avg_tokens,
+       sum(len(list_filter({_TOKENIZE_SQL},
+               x -> x IN ('the','a','of','and','to','in','is'))))::BIGINT AS total_stopwords,
+       sum(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')))::BIGINT AS total_punct_chars
 FROM documents GROUP BY lang
 """,
-    tags=("text", "tokens"),
+    tags=("text", "tokens", "quality"),
 )
 def text_token_stats(spark, sf_dir):
     """Whitespace/regex token counting per language (training-data token
-    accounting)."""
+    accounting) plus exact-integer quality totals (stopword + punctuation
+    counts — the aggregated form of the per-document quality signals in
+    zz_text_quality_score; integer sums keep the oracle hash exact)."""
     d = t(spark, sf_dir, "documents")
     n = F.size(_tokens())
+    stopwords = ["the", "a", "of", "and", "to", "in", "is"]
+    n_stop = F.size(F.filter(_tokens(), lambda x: x.isin(stopwords)))
+    punct = F.length(F.regexp_replace("text", "[a-zA-Z0-9 ]", ""))
     return d.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n).cast("long").alias("total_tokens"),
         F.round(F.avg(n), 4).alias("avg_tokens"),
+        F.sum(n_stop).cast("long").alias("total_stopwords"),
+        F.sum(punct).cast("long").alias("total_punct_chars"),
     )
 
 
 @register(
-    "text_quality_score",
+    "zz_text_quality_score",
     oracle="""
 SELECT doc_id,
        length(text) AS n_chars_actual,

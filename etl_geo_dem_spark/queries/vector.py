@@ -97,7 +97,7 @@ def similarity_bruteforce_topk(spark, sf_dir):
 
 
 @register(
-    "similarity_lsh_hyperplane_buckets",
+    "zz_similarity_lsh_hyperplane_buckets",
     oracle=f"""
 SELECT ({' + '.join(
     f"(CASE WHEN list_sum(list_transform(range(1, {DIM} + 1), "
@@ -127,7 +127,7 @@ def similarity_lsh_hyperplane_buckets(spark, sf_dir):
 
 
 @register(
-    "similarity_ivf_centroid_norms",
+    "zz_similarity_ivf_centroid_norms",
     oracle="""
 SELECT label, round(sqrt(sum(m * m)), 6) AS centroid_norm
 FROM (

@@ -72,6 +72,21 @@ def main():
             problems.append(f"rowcount spark={len(got)} duck={len(exp)}")
         if sorted(got.columns) != sorted(exp.columns):
             problems.append(f"schema spark={sorted(got.columns)} duck={sorted(exp.columns)}")
+        else:
+            # strict dtype audit: the driver's value hash is dtype-sensitive
+            # (int64 vs HUGEINT-as-object, int32 vs int64, int vs float all
+            # hash differently) — the canon() coercion below would mask these.
+            for c in got.columns:
+                gk, ek = got[c].dtype, exp[c].dtype
+                if gk != ek and len(got) > 0:
+                    # datetime64 resolution differences (ns vs us) are benign:
+                    # driver-green in round 1 for cdc_lww_latest_window et al.
+                    both_dt = np.issubdtype(gk, np.datetime64) and np.issubdtype(
+                        ek, np.datetime64
+                    )
+                    both_obj = gk == object and ek == object
+                    if not (both_dt or both_obj):
+                        problems.append(f"dtype[{c}] spark={gk} duck={ek}")
         if not problems:
             cg, ce = canon(got), canon(exp)
             try:

@@ -47,7 +47,7 @@ def test_lww_agg_has_map_side_combine(spark):
     (max_by has a struct buffer, so Spark plans SortAggregate — still
     partial+final; hash vs sort is an implementation detail, the partial
     combine is the scale property.)"""
-    plan = _plan(spark, "cdc_lww_latest_agg")
+    plan = _plan(spark, "zz_cdc_lww_latest_agg")
     assert "partial_max_by" in plan  # map-side combine before the Exchange
     assert plan.index("partial_max_by") > plan.index("Exchange") or "Exchange" in plan
 
@@ -65,7 +65,7 @@ def test_no_row_python_udfs_anywhere(spark):
 
 
 def test_multimodal_uses_arrow_batches(spark):
-    plan = _plan(spark, "multimodal_decode_metadata")
+    plan = _plan(spark, "zz_multimodal_decode_metadata")
     assert "MapInPandas" in plan  # Arrow-batched, the sanctioned slow path
 
 
