@@ -251,9 +251,23 @@ class LakeTable:
         files: list[dict[str, Any]],
         summary: dict[str, Any],
         schema: T.StructType | None = None,
+        expected_parent: int | None = None,
     ) -> int:
-        """Commit a new snapshot; returns the new version number."""
+        """Commit a new snapshot; returns the new version number.
+
+        ``expected_parent`` is the compare-and-swap guard: callers that derived
+        ``files`` from a snapshot read earlier pass that snapshot's version, and
+        the commit raises :class:`CommitConflict` if anyone committed in
+        between — otherwise the interloper's files would silently vanish from
+        the new snapshot's file list (the O_EXCL check alone only catches
+        exact-version collisions, a strictly weaker guarantee).
+        """
         prev = self.snapshot()
+        if expected_parent is not None and prev["version"] != expected_parent:
+            raise CommitConflict(
+                f"expected parent v{expected_parent} but table is at "
+                f"v{prev['version']} — re-read and retry"
+            )
         version = prev["version"] + 1
         snap = {
             "version": version,
@@ -262,6 +276,8 @@ class LakeTable:
             "schema": json.loads(schema.json()) if schema is not None else prev["schema"],
             "n_buckets": prev["n_buckets"],
             "key_col": prev.get("key_col", "conv_id"),
+            "key_cols": prev.get("key_cols", ["conv_id", "turn_idx"]),
+            "order_cols": prev.get("order_cols", ["ts", "lsn"]),
             "files": files,
             "summary": summary,
         }
@@ -303,24 +319,48 @@ class LakeTable:
         return out
 
     # --------------------------------------------------------------- vacuum
-    def vacuum(self, keep_versions: int = 1) -> list[str]:
+    def vacuum(self, keep_versions: int = 1, orphan_grace_sec: float = 3600.0) -> list[str]:
         """Delete data files unreferenced by the last ``keep_versions`` snapshots
         (compaction hygiene — analog of the reference's COG rebuild,
-        `scripts/pipelines/model_pipeline.py:403-420`)."""
+        `scripts/pipelines/model_pipeline.py:403-420`).
+
+        Two kinds of unreferenced files exist, with different safety rules:
+
+        - files referenced by an EXPIRED snapshot (older than ``keep_versions``)
+          are committed garbage — deletable at any age;
+        - files referenced by NO snapshot at all may belong to a concurrent
+          writer that has written data but not yet committed its snapshot.
+          Those are deleted only when their commit dir is older than
+          ``orphan_grace_sec`` (the Iceberg orphan-file age threshold) —
+          reaping them earlier would destroy an in-flight commit."""
         keep = set()
+        ever_referenced = set()
         cur = self.current_version()
+        for s in self.history():
+            for f in s["files"]:
+                ever_referenced.add(os.path.realpath(f["path"]))
         for v in range(max(1, cur - keep_versions + 1), cur + 1):
             for f in self.snapshot(v)["files"]:
                 keep.add(os.path.realpath(f["path"]))
+        now = time.time()
         removed = []
-        for p in glob.glob(os.path.join(self.path, "data", "*", f"{BUCKET_COL}=*", "*.parquet")):
-            if os.path.realpath(p) not in keep:
+        for d in glob.glob(os.path.join(self.path, "data", "*")):
+            if not os.path.isdir(d):
+                continue
+            try:
+                dir_age = now - os.path.getmtime(d)
+            except OSError:
+                continue  # dir vanished under us (concurrent vacuum)
+            for p in glob.glob(os.path.join(d, f"{BUCKET_COL}=*", "*.parquet")):
+                rp = os.path.realpath(p)
+                if rp in keep:
+                    continue
+                if rp not in ever_referenced and dir_age < orphan_grace_sec:
+                    continue  # possibly an in-flight commit — not ours to reap yet
                 os.remove(p)
                 removed.append(p)
-        # drop empty commit dirs
-        for d in glob.glob(os.path.join(self.path, "data", "*")):
-            if os.path.isdir(d) and not any(glob.iglob(os.path.join(d, "**", "*.parquet"), recursive=True)):
-                shutil.rmtree(d)
+            if not any(glob.iglob(os.path.join(d, "**", "*.parquet"), recursive=True)):
+                shutil.rmtree(d, ignore_errors=True)
         return removed
 
     def expire_tombstones(self, below_lsn: int) -> int:
@@ -331,7 +371,8 @@ class LakeTable:
         source guarantees no event below ``below_lsn`` can still arrive, the
         markers are dead weight and compaction may drop them. Returns the new
         snapshot version."""
-        df = self.read(include_deleted=True).filter(
+        base_version = self.current_version()
+        df = self.read(version=base_version, include_deleted=True).filter(
             ~(F.col("_deleted") & (F.col("lsn") < below_lsn))
         )
         key = self.key_col()
@@ -344,13 +385,15 @@ class LakeTable:
                 "epoch_id": self.last_epoch(),
                 "tombstone_horizon_lsn": below_lsn,
             },
+            expected_parent=base_version,
         )
 
     def compact(self) -> int:
         """Rewrite current live state into one base file per bucket
         (rewrite_data_files analog; folds merge-on-read deltas). Returns the
         new snapshot version."""
-        df = self.read(include_deleted=True)
+        base_version = self.current_version()
+        df = self.read(version=base_version, include_deleted=True)
         key = self.key_col()
         n = self.n_buckets()
         files = self.write_data_files(df.withColumn(BUCKET_COL, bucket_expr(key, n)))
@@ -361,6 +404,7 @@ class LakeTable:
                 "epoch_id": self.last_epoch(),
                 "files": len(files),
             },
+            expected_parent=base_version,
         )
 
     def delta_counts(self) -> dict[int, int]:
@@ -377,11 +421,12 @@ class LakeTable:
         (Iceberg rewrite_data_files with a partition filter, from scratch).
         Untouched buckets' files carry over unchanged."""
         wanted = set(buckets)
-        df = self.read(buckets=buckets, include_deleted=True)
+        snap = self.snapshot()
+        df = self.read(version=snap["version"], buckets=buckets, include_deleted=True)
         key = self.key_col()
         n = self.n_buckets()
         new_files = self.write_data_files(df.withColumn(BUCKET_COL, bucket_expr(key, n)))
-        carried = [f for f in self.snapshot()["files"] if f["bucket"] not in wanted]
+        carried = [f for f in snap["files"] if f["bucket"] not in wanted]
         return self.commit(
             carried + new_files,
             summary={
@@ -389,4 +434,5 @@ class LakeTable:
                 "epoch_id": self.last_epoch(),
                 "buckets": sorted(wanted),
             },
+            expected_parent=snap["version"],
         )

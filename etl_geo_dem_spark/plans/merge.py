@@ -100,8 +100,14 @@ def apply_changes(
     batch: DataFrame,
     epoch_id: int,
     cfg: EngineConfig = EngineConfig(),
+    extra_manifest: dict[str, Any] | None = None,
 ) -> dict[str, Any]:
-    """Apply one epoch of change events to the table. Returns the epoch manifest."""
+    """Apply one epoch of change events to the table. Returns the epoch manifest.
+
+    ``extra_manifest`` fields (e.g. a loader's ``source_path``) are merged into
+    the epoch manifest BEFORE its first write, so lineage that restart logic
+    depends on is recorded atomically with the epoch — never by a second write
+    that a crash could separate from the commit."""
     t0 = time.time()
     last = table.last_epoch()
     if epoch_id <= last:
@@ -111,6 +117,11 @@ def apply_changes(
     n_buckets = table.n_buckets()
     state_schema = table.schema()
     evolved, new_cols = evolve_schema(state_schema, batch)
+    # merge keys/ordering come from the table's own metadata (persisted at
+    # create() and carried forward by every commit) — module defaults only
+    # apply to pre-metadata snapshots.
+    key_cols = snap.get("key_cols", KEY_COLS)
+    order_cols = snap.get("order_cols", ORDER_COLS)
 
     obs_in = Observation(f"epoch_{epoch_id}_in")
     batch = batch.observe(obs_in, F.count(F.lit(1)).alias("events"))
@@ -119,14 +130,14 @@ def apply_changes(
     strategy = cfg.dedup_strategy
     if strategy == "salted_window":
         hot_keys = detect_hot_keys(
-            batch, KEY_COLS[0], cfg.hot_key_threshold, cfg.hot_key_sample
+            batch, key_cols[0], cfg.hot_key_threshold, cfg.hot_key_sample
         )
     winners = lww_winners(
-        batch, KEY_COLS, ORDER_COLS, strategy=strategy,
+        batch, key_cols, order_cols, strategy=strategy,
         salt_buckets=cfg.salt_buckets, hot_keys=hot_keys,
     )
     batch_state = _to_state_shape(winners, evolved).withColumn(
-        BUCKET_COL, bucket_expr(KEY_COLS[0], n_buckets)
+        BUCKET_COL, bucket_expr(table.key_col(), n_buckets)
     )
     # the deduped batch has two consumers (touched-bucket derivation + the
     # merge-write) — persist it once instead of recomputing the full dedup
@@ -158,10 +169,10 @@ def apply_changes(
                 target = target.withColumn(c, F.lit(None).cast(dict(
                     (f.name, f.dataType) for f in evolved.fields)[c]))
         target = target.select([f.name for f in evolved.fields]).withColumn(
-            BUCKET_COL, bucket_expr(KEY_COLS[0], n_buckets)
+            BUCKET_COL, bucket_expr(table.key_col(), n_buckets)
         )
         merged = lww_winners(
-            target.unionByName(batch_state), KEY_COLS, ORDER_COLS, strategy="agg"
+            target.unionByName(batch_state), key_cols, order_cols, strategy="agg"
         )
         merged = merged.observe(obs_out, F.count(F.lit(1)).alias("rows"))
         new_files = table.write_data_files(merged, kind="base")
@@ -178,6 +189,7 @@ def apply_changes(
             "schema_evolved": new_cols,
         },
         schema=evolved,
+        expected_parent=snap["version"],
     )
 
     # bounded read amplification under merge-on-read: fold any bucket whose
@@ -216,6 +228,8 @@ def apply_changes(
         },
         "parallelism": table.spark.sparkContext.defaultParallelism,
     }
+    if extra_manifest:
+        manifest.update(extra_manifest)
     table.write_epoch_manifest(epoch_id, manifest)
     return manifest
 

@@ -73,7 +73,11 @@ def ingest_manifest(
 ) -> list[dict]:
     """Apply every unapplied manifest entry as one epoch each (epoch id
     continues from the committed watermark). Each epoch manifest records the
-    source path — that record IS the applied-set for the next restart."""
+    source path — that record IS the applied-set for the next restart, so it is
+    passed through ``extra_manifest`` and lands in the epoch manifest's FIRST
+    write, atomically with the commit (a re-write after the commit would leave
+    a crash window in which the epoch is committed but invisible to
+    ``applied_paths``, double-counting lineage on restart)."""
     from etl_geo_dem_spark.config import EngineConfig
     from etl_geo_dem_spark.plans.merge import apply_changes
 
@@ -82,10 +86,8 @@ def ingest_manifest(
     next_epoch = table.last_epoch() + 1
     for p in unapplied_paths(table, manifest_path):
         batch = load_change_file(spark, p, schema)
-        m = apply_changes(table, batch, next_epoch, cfg)
+        m = apply_changes(table, batch, next_epoch, cfg, extra_manifest={"source_path": p})
         if m.get("status") == "committed":
-            m["source_path"] = p
-            table.write_epoch_manifest(m["epoch_id"], m)  # re-write with source
             next_epoch += 1
         out.append(m)
     return out

@@ -17,24 +17,39 @@ import pandas as pd
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "conv_id string, turns_seen long, max_lsn long, batch_rows long"
-STATE_SCHEMA = "turns_seen long, max_lsn long"
+STATE_SCHEMA = "seen_turns array<int>, max_lsn long"
+
+# exact distinct-turn tracking saturates here; transcripts are bounded in
+# practice (a conversation has thousands of turns at most), so the cap is a
+# state-size guard, not an expected path. Past the cap, turns_seen stays at
+# the cap (monotone, never overcounts).
+MAX_TRACKED_TURNS = 65536
 
 
 def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     (conv_id,) = key
-    turns, max_lsn = state.get if state.exists else (0, -1)
+    seen_list, max_lsn = state.get if state.exists else ([], -1)
+    seen = {int(v) for v in (seen_list or [])}
     batch_rows = 0
-    seen = set()
     for pdf in pdfs:
         batch_rows += len(pdf)
-        seen.update(pdf["turn_idx"].unique().tolist())
+        if len(seen) < MAX_TRACKED_TURNS:
+            seen.update(int(x) for x in pdf["turn_idx"].unique())
         m = int(pdf["lsn"].max())
         if m > max_lsn:
             max_lsn = m
-    turns = turns + len(seen)  # approximation: per-batch new-turn count
-    state.update((turns, max_lsn))
+    # exact distinct count: turn_idx values re-seen across micro-batches are
+    # counted once (the seen-set lives in the state store with the key).
+    state.update((sorted(seen), max_lsn))
     yield pd.DataFrame(
-        [{"conv_id": conv_id, "turns_seen": turns, "max_lsn": max_lsn, "batch_rows": batch_rows}]
+        [
+            {
+                "conv_id": conv_id,
+                "turns_seen": len(seen),
+                "max_lsn": max_lsn,
+                "batch_rows": batch_rows,
+            }
+        ]
     )
 
 

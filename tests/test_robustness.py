@@ -63,3 +63,40 @@ def test_epoch_manifest_json_is_valid(spark, warehouse):
         with open(p) as f:
             m = json.load(f)
         assert {"epoch_id", "lineage", "phase_sec", "merge_mode"} <= set(m)
+
+
+def test_seeded_permutation_yields_identical_final_state(spark, warehouse):
+    """SURVEY §5 final bullet: random permutations of the event order within an
+    epoch must yield a byte-identical final state — LWW resolution depends only
+    on (ts, lsn), never on arrival order. Three seeded shuffles, each compared
+    to the unpermuted replay AND the Python reference replayer."""
+    from pyspark.sql import functions as F
+
+    from etl_geo_dem_spark.oracle.replayer import replay_reference
+
+    ch = generate_changes(spark, 1200, n_conv=30, n_epochs=3, evolve_from_epoch=None)
+    base = LakeTable.create(spark, os.path.join(warehouse, "base"), STATE_SCHEMA, n_buckets=4)
+    replay(base, ch)
+    expected = base.read_public().orderBy("conv_id", "turn_idx").toPandas()
+
+    import pandas as pd
+
+    oracle = pd.DataFrame(replay_reference([r.asDict() for r in ch.collect()]))
+    oracle = oracle.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert len(expected) == len(oracle) > 0
+    for col in ["conv_id", "turn_idx", "text", "ts"]:
+        assert expected[col].fillna("∅").tolist() == oracle[col].fillna("∅").tolist(), col
+
+    for seed in (7, 41, 1337):
+        shuffled = (
+            ch.withColumn("_r", F.xxhash64(F.lit(seed), F.col("lsn"), F.col("conv_id")))
+            .orderBy("_r")
+            .drop("_r")
+            .repartition(8)  # scatter the sorted order across partitions too
+        )
+        t = LakeTable.create(
+            spark, os.path.join(warehouse, f"perm{seed}"), STATE_SCHEMA, n_buckets=4
+        )
+        replay(t, shuffled)
+        got = t.read_public().orderBy("conv_id", "turn_idx").toPandas()
+        assert got.equals(expected), f"permutation seed={seed} diverged"
