@@ -50,12 +50,16 @@ def lww_winners_agg(
     """Skew-free LWW reduce via ``max_by(payload, order)`` with map-side partial
     aggregation.
 
-    ``max_by`` is a TypedImperativeAggregate, so Spark plans ObjectHashAggregate
-    (hash-based, partial+final) — measured ~2.5× faster than ``max(struct(...))``,
-    which has no mutable fixed-width buffer for a struct and silently degrades to
-    SortAggregate (full-row sort per partition). Ties on the full ``(ts, lsn)``
-    stamp are duplicate deliveries of the same event (identical payload), so
-    ``max_by``'s tie nondeterminism is immaterial.
+    The executed plan (docs/PLANS.md, dumped by scripts_dev/dump_plans.py) is a
+    SortAggregate pair — the struct ordering key has no fixed-width mutable
+    buffer, so Spark picks sort-based aggregation — but crucially with
+    ``partial_max_by`` BELOW the exchange: each task collapses its rows to one
+    candidate per key before any shuffle, which is what makes the reduce
+    skew-safe (a hot key ships ≤1 row per map task regardless of its row
+    count). Measured ~2.5× faster than ``max(struct(...))`` for the same
+    output. Ties on the full ``(ts, lsn)`` stamp are duplicate deliveries of
+    the same event (identical payload), so ``max_by``'s tie nondeterminism is
+    immaterial.
     """
     rest = [c for c in df.columns if c not in key_cols]
     winners = df.groupBy(*key_cols).agg(

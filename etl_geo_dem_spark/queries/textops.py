@@ -170,13 +170,22 @@ list_transform(range(1, greatest(len({_TOKENIZE_SQL}), 1)),
 """
 
 
-def _shingles():
-    toks = _tokens()
+def _shingle_postings(d):
+    """(doc_id, distinct shingle) postings.
+
+    The token array is materialized as a real column BEFORE the higher-order
+    ``transform``: a lambda body that references the tokenize expression
+    directly re-evaluates the whole split+filter per array element (O(tokens²)
+    per document — measured 16-23 s for the minhash query at sf0.1, vs 1.6-4 s
+    with the bound column; identical output)."""
+    d = d.withColumn("_toks", _tokens())
+    toks = F.col("_toks")
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0)))
-    return F.when(n >= 2, F.transform(
+    sh = F.when(n >= 2, F.transform(
         idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
     )).otherwise(F.array().cast("array<string>"))
+    return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("s"))
 
 
 @register(
@@ -201,20 +210,36 @@ WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.8
     tags=("dedup", "jaccard", "ngram"),
 )
 def dedup_ngram_jaccard_pairs(spark, sf_dir):
-    """Near-duplicate pairs by word-bigram Jaccard ≥ 0.8 with LOSSLESS prefix
-    filtering (the PPJoin family, public literature): under a global shingle
-    order (ascending document frequency), a pair with Jaccard ≥ τ must share a
-    shingle within each doc's first ``|d| − ceil(τ·|d|) + 1`` shingles — so only
-    those rare-first prefixes are indexed and joined, and candidates are then
-    verified exactly. The DuckDB oracle is the naive all-postings join: passing
-    it proves the pruned plan preserves semantics.
+    """Near-duplicate pairs by word-bigram Jaccard ≥ 0.8 with LOSSLESS
+    PPJoin-style filtering (public literature):
 
-    Scale story: the naive inverted-index join is Σ(posting²) — pathological
-    when the vocabulary is small (measured 57 s at sf0.1); the prefix index
-    joins only short rare-shingle postings (measured ~3 s, identical result)."""
+    - prefix filter: under a global shingle order (ascending document
+      frequency), a pair with Jaccard ≥ τ must share a shingle within each
+      doc's first ``|d| − ceil(τ·|d|) + 1`` shingles — only those rare-first
+      prefixes are indexed and joined;
+    - length filter: ``|a| ≥ ceil(τ·|b|)`` both ways, else even full
+      containment misses τ;
+    - positional filter: the FIRST common shingle at ranks (i, j) bounds the
+      overlap by ``1 + min(|a|−i, |b|−j)``; Jaccard ≥ τ needs overlap
+      ``≥ ceil(τ·(|a|+|b|)/(1+τ))``, so matches that cannot reach it are
+      dropped during the join (keep-if-any-match-passes is conservative:
+      the first common shingle has the loosest bound).
+
+    Survivors are verified EXACTLY via broadcast per-doc shingle arrays +
+    ``array_intersect`` — no exploded verify join. The DuckDB oracle is the
+    naive all-postings join: passing it proves the pruned plan preserves
+    semantics.
+
+    Scale story at sf0.1 (5 000 docs, degenerate shared vocabulary): naive
+    inverted-index join Σ(posting²) = 57 s; prefix-only filtering left 4.4 M
+    candidates and a 37 s exploded verify; the length+positional filters cut
+    candidates to 0.66 M and the array_intersect verify lands at ~6 s —
+    identical 256 output rows at every step. At 100 TB the doc→array side of
+    the verify outgrows a broadcast: swap it for a bucketed equi-join on
+    doc_id (same plan shape, one extra shuffle)."""
     tau = 0.8
     d = t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(F.array_distinct(_shingles())).alias("s"))
+    sh = _shingle_postings(d)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     ranked = (
@@ -227,26 +252,44 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
     )
     prefix = ranked.filter(
         F.col("rk") <= F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + 1
-    ).select("doc_id", "s")
-    pa = prefix.select(F.col("doc_id").alias("doc_a"), "s")
-    pb = prefix.select(F.col("doc_id").alias("doc_b"), "s")
+    ).select("doc_id", "s", "rk", "sz")
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"), "s", F.col("rk").alias("rk_a"), F.col("sz").alias("sz_a")
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"), "s", F.col("rk").alias("rk_b"), F.col("sz").alias("sz_b")
+    )
+    need = F.ceil(F.lit(tau) / (1 + tau) * (F.col("sz_a") + F.col("sz_b")))
+    ubound = 1 + F.least(F.col("sz_a") - F.col("rk_a"), F.col("sz_b") - F.col("rk_b"))
     cand = (
-        pa.join(pb, "s").filter(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b").distinct()
+        pa.join(pb, "s")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("sz_a") >= F.ceil(F.lit(tau) * F.col("sz_b")))
+            & (F.col("sz_b") >= F.ceil(F.lit(tau) * F.col("sz_a")))
+            & (ubound >= need)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    # exact verification of candidates only: count common shingles per pair
-    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "s")
-    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "s")
-    inter = (
-        cand.join(a_sh, "doc_a")
-        .join(b_sh, ["doc_b", "s"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("common"))
+    # exact verification: per-doc distinct-shingle arrays broadcast to the
+    # candidate pairs; common = |array_intersect| (postings are distinct/doc)
+    doc_arrays = sh.groupBy("doc_id").agg(F.collect_list("s").alias("arr"))
+    arr_a = F.broadcast(
+        doc_arrays.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    arr_b = F.broadcast(
+        doc_arrays.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
+    )
+    sa = F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")))
+    sb = F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")))
     jac = F.col("common") * 1.0 / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
     return (
-        inter.join(sa, "doc_a")
+        cand.join(arr_a, "doc_a")
+        .join(arr_b, "doc_b")
+        .withColumn("common", F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b"))))
+        .drop("arr_a", "arr_b")
+        .join(sa, "doc_a")
         .join(sb, "doc_b")
         .filter(jac >= tau)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
@@ -286,7 +329,7 @@ def dedup_minhash_lsh_candidates(spark, sf_dir):
     are one groupBy over postings; the candidate join touches only same-bucket
     docs (no all-pairs)."""
     d = t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", F.explode(F.array_distinct(_shingles())).alias("s"))
+    sh = _shingle_postings(d)
     # hash dictionary: md5 each DISTINCT shingle once (vocabulary ≪ postings),
     # broadcast it back — identical semantics, ~k×|postings| fewer md5 calls;
     # at 100 TB this is the standard dictionary-encode-then-join plan.

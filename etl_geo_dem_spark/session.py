@@ -35,8 +35,14 @@ def get_spark(
     if shuffle_partitions is None:
         # match parallelism, not Spark's default 200 — at cluster scale this is
         # set to ~2-3x total cores by the submitter instead.
-        n = master.split("[")[-1].rstrip("]") if "[" in master else "32"
-        shuffle_partitions = 32 if n == "*" else max(8, int(n))
+        spec = master.split("[")[-1].rstrip("]") if "[" in master else "32"
+        if spec == "*":
+            shuffle_partitions = 32
+        elif "," in spec:  # local-cluster[workers,cores_per_worker,mem_mb]
+            parts = spec.split(",")
+            shuffle_partitions = max(8, int(parts[0]) * int(parts[1]))
+        else:
+            shuffle_partitions = max(8, int(spec))
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

@@ -62,13 +62,17 @@ DEBEZIUM_SCHEMA = T.StructType(
 )
 
 
-def from_debezium(df: DataFrame, epoch: int | None = None) -> DataFrame:
+def from_debezium(
+    df: DataFrame, epoch: int | None = None, extra_cols: list[str] | None = None
+) -> DataFrame:
     """Normalize a Debezium envelope DataFrame to the engine CHANGE shape.
 
     - op: c (create) and r (snapshot read) → I; u → U; d → D
     - payload image: `after` for upserts, `before` for deletes (keys only —
       payload columns are nulled, matching CHANGE_SCHEMA delete semantics)
     - LWW stamp: (to_timestamp(ts_ms), source.lsn)
+    - ``extra_cols``: passthrough columns (e.g. Kafka topic/partition/offset
+      lineage) appended unchanged after the CHANGE columns.
     """
     img = F.when(F.col("op") == "d", F.col("before")).otherwise(F.col("after"))
     is_del = F.col("op") == "d"
@@ -84,6 +88,7 @@ def from_debezium(df: DataFrame, epoch: int | None = None) -> DataFrame:
         F.when(is_del, F.lit(None).cast("string")).otherwise(img["tool"]).alias("tool"),
         F.timestamp_millis(F.col("ts_ms")).alias("ts"),
         F.col("source.lsn").alias("lsn"),
+        *[F.col(c) for c in (extra_cols or [])],
     )
     return out.withColumn("epoch", F.lit(epoch if epoch is not None else 0).cast("long"))
 

@@ -1,0 +1,101 @@
+"""Kafka-topic source adapter (binlog tail as it lands in the wild).
+
+``spark.readStream.format("kafka")`` yields a fixed public shape —
+``(key binary, value binary, topic string, partition int, offset long,
+timestamp timestamp, timestampType int)`` — regardless of broker. This module
+is everything AFTER that boundary: decode the value bytes (Debezium JSON
+envelope), normalize to the engine CHANGE shape, and derive the LWW minor
+stamp. Because the decode is pure column expressions over that public shape,
+it is fully testable here by synthesizing Kafka-shaped DataFrames — no broker
+or kafka-clients jar needed (none ships in this container; ``kafka_stream``
+raises a clear error if the connector jar is absent at runtime).
+
+Offsets vs LSNs: Kafka offsets order events only within a partition, so the
+adapter keeps the envelope's source LSN as the LWW minor key and carries
+(topic, partition, offset) through as lineage columns — the exactly-once story
+stays with the engine's epoch watermark (checkpointed micro-batch ids),
+exactly as in streaming/ingest.py.
+
+Reference analog: heterogeneous per-source inputs normalized to one key scheme
+before load (`scripts/settings.py:80-81`; `pipeline_load_localPG.py:26-56`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_geo_dem_spark.sources.debezium import DEBEZIUM_SCHEMA, from_debezium
+
+# the shape format("kafka") produces — public Spark contract
+KAFKA_SHAPE_COLS = [
+    "key", "value", "topic", "partition", "offset", "timestamp", "timestampType",
+]
+
+
+def from_kafka_debezium(
+    kafka_df: DataFrame,
+    epoch: int | None = None,
+    keep_lineage: bool = False,
+) -> DataFrame:
+    """Kafka-shaped rows (binary value = Debezium JSON) → engine CHANGE rows.
+
+    Pure column expressions: cast → from_json(envelope) → from_debezium.
+    Tombstone records (null value — Kafka log-compaction deletes) are dropped:
+    the upstream Debezium 'd' event already carries the delete; the compaction
+    marker has no envelope to order by. Undecodable payloads are dropped too
+    (poison-pill policy; route them to a dead-letter sink upstream if needed).
+
+    ``keep_lineage=True`` appends ``_src_topic/_src_partition/_src_offset``.
+    Note apply_changes treats non-envelope batch columns as additive schema
+    evolution — with lineage on, the lake table gains (and persists) those
+    three columns, which is sometimes exactly what an audit requires; the
+    default keeps the CHANGE shape unchanged.
+    """
+    parsed = (
+        kafka_df.filter(F.col("value").isNotNull())
+        .withColumn("_env", F.from_json(F.col("value").cast("string"), DEBEZIUM_SCHEMA))
+        # PERMISSIVE from_json yields an all-null struct for malformed JSON —
+        # require the envelope essentials, not just a non-null struct
+        .filter(
+            F.col("_env.op").isNotNull()
+            & F.col("_env.ts_ms").isNotNull()
+            & F.col("_env.source.lsn").isNotNull()
+        )
+    )
+    lineage = (
+        [
+            F.col("topic").alias("_src_topic"),
+            F.col("partition").alias("_src_partition"),
+            F.col("offset").alias("_src_offset"),
+        ]
+        if keep_lineage
+        else []
+    )
+    env = parsed.select("_env.*", *lineage)
+    return from_debezium(
+        env, epoch=epoch, extra_cols=[c for c in env.columns if c.startswith("_src_")]
+    )
+
+
+def kafka_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """readStream from a Kafka topic (requires the spark-sql-kafka connector
+    jar on the cluster — not shipped in this container)."""
+    try:
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as e:  # pragma: no cover - no connector jar in sandbox
+        raise RuntimeError(
+            "Kafka connector not available in this environment; add "
+            "org.apache.spark:spark-sql-kafka-0-10 to spark-submit --packages"
+        ) from e

@@ -1,0 +1,81 @@
+"""Multi-JVM (process-sharded) scaling evidence — BENCH/BASELINE.md §4.
+
+Runs the identical CDC replay under Spark's local-cluster mode, which spawns
+real separate executor JVM processes on this machine (the closest sandbox
+analog of N vs 4N executors on a cluster): one worker with C cores vs four
+workers with C cores each, same deterministic input. This separates the
+engine's scaling from single-JVM heap/GC saturation, which is what flattens
+the local[8]→local[32] thread ladder.
+
+    python scripts_dev/multijvm_scaling.py [cores_per_worker] [n_events] [epochs] [repeats]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(workers: int, cores: int, mem_mb: int, n_events: int, epochs: int, repeats: int) -> dict:
+    env = {
+        **os.environ,
+        "SPARK_GRAFT_MASTER": f"local-cluster[{workers},{cores},{mem_mb}]",
+        "SPARK_GRAFT_BENCH_EVENTS": str(n_events),
+        "SPARK_GRAFT_BENCH_EPOCHS": str(epochs),
+        "SPARK_GRAFT_BENCH_REPEATS": str(repeats),
+        "SPARK_GRAFT_SKIP_QUERIES": "1",
+        "SPARK_GRAFT_DRIVER_MEM": "24g",
+        # two full-size untimed warmup replays: executor JVMs JIT independently
+        # and ramp noticeably slower than single-JVM local mode (measured: the
+        # 4-worker level kept improving through run 3 with only one warmup)
+        "SPARK_GRAFT_WARMUP_RUNS": os.environ.get("SPARK_GRAFT_WARMUP_RUNS", "2"),
+    }
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    if not lines:
+        sys.stderr.write(out.stdout[-2000:] + "\n" + out.stderr[-4000:] + "\n")
+        raise RuntimeError(f"bench produced no JSON at local-cluster[{workers},{cores},{mem_mb}]")
+    return json.loads(lines[-1])
+
+
+def main():
+    cores = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_events = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+    epochs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    mem_mb = 8192
+
+    lo = run(1, cores, mem_mb, n_events, epochs, repeats)
+    print(json.dumps({"level": f"local-cluster[1,{cores}]", **lo["replay"]}), flush=True)
+    hi = run(4, cores, mem_mb, n_events, epochs, repeats)
+    print(json.dumps({"level": f"local-cluster[4,{cores}]", **hi["replay"]}), flush=True)
+
+    t_lo = lo["replay"]["events_per_sec"]
+    t_hi = hi["replay"]["events_per_sec"]
+    eff = (t_hi / t_lo) / 4
+    result = {
+        "cores_per_worker": cores,
+        "n_events": n_events,
+        "epochs": epochs,
+        "repeats": repeats,
+        "N_jvm1": {"events_per_sec": t_lo, "runs": lo["replay"]["runs_events_per_sec"]},
+        "x4N_jvm4": {"events_per_sec": t_hi, "runs": hi["replay"]["runs_events_per_sec"]},
+        "speedup": round(t_hi / t_lo, 3),
+        "efficiency_N_to_4N": round(eff, 3),
+        "generated": time.strftime("%Y-%m-%d %H:%M:%S"),
+    }
+    print(json.dumps(result), flush=True)
+    with open(os.path.join(REPO, "BENCH", "multijvm_scaling.json"), "w") as f:
+        json.dump(result, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -121,3 +121,58 @@ def test_debezium_envelope_adapter(spark, warehouse, tmp_path):
     apply_changes(table, changes, 0)
     rows = {(r["conv_id"], r["turn_idx"]): r["text"] for r in table.read_public().collect()}
     assert rows == {("c1", 1): "v2"}  # turn 0 deleted, turn 1 updated
+
+
+def test_kafka_shaped_debezium_adapter(spark, warehouse):
+    """Kafka-shaped rows (the public format("kafka") contract: binary key/value
+    + topic/partition/offset/timestamp) decode through the Debezium envelope to
+    CHANGE rows; log-compaction tombstones (null value) and undecodable
+    payloads drop out; lineage columns pass through when requested."""
+    import datetime as _dt
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from etl_geo_dem_spark.plans.merge import apply_changes
+    from etl_geo_dem_spark.sources.kafka import from_kafka_debezium
+
+    def env(op, turn, text, ts_ms, lsn):
+        img = {"conv_id": "k1", "turn_idx": turn, "role": "user", "text": text, "tool": None}
+        return _json.dumps({
+            "op": op, "ts_ms": ts_ms,
+            "before": img if op == "d" else None,
+            "after": None if op == "d" else img,
+            "source": {"lsn": lsn, "db": "d", "table": "t"},
+        }).encode()
+
+    kafka_schema = T.StructType([
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("timestampType", T.IntegerType()),
+    ])
+    t0 = _dt.datetime(2024, 1, 1)
+    rows = [
+        (b"k1", env("c", 0, "v1", 1000, 1), "cdc.t", 0, 100, t0, 0),
+        (b"k1", env("u", 0, "v2", 2000, 2), "cdc.t", 0, 101, t0, 0),
+        (b"k1", env("c", 1, "gone", 3000, 3), "cdc.t", 1, 50, t0, 0),
+        (b"k1", env("d", 1, None, 4000, 4), "cdc.t", 1, 51, t0, 0),
+        (b"k1", None, "cdc.t", 1, 52, t0, 0),            # compaction tombstone
+        (b"k1", b"{not json", "cdc.t", 1, 53, t0, 0),    # poison pill
+    ]
+    kdf = spark.createDataFrame(rows, kafka_schema)
+
+    changes = from_kafka_debezium(kdf, epoch=0)
+    assert changes.count() == 4  # tombstone + poison dropped
+    table = LakeTable.create(spark, os.path.join(warehouse, "kfk"), STATE_SCHEMA, n_buckets=4)
+    apply_changes(table, changes, 0)
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in table.read_public().collect()}
+    assert got == {("k1", 0): "v2"}  # turn 1 deleted, turn 0 updated
+
+    lineage = from_kafka_debezium(kdf, epoch=0, keep_lineage=True)
+    assert {"_src_topic", "_src_partition", "_src_offset"} <= set(lineage.columns)
+    offs = {r["_src_offset"] for r in lineage.collect()}
+    assert offs == {100, 101, 50, 51}
