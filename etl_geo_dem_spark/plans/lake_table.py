@@ -187,19 +187,34 @@ class LakeTable:
             files = [f for f in files if f["bucket"] in wanted]
         if not files:
             df = self.spark.createDataFrame([], schema)
-        else:
+        elif not (resolve and any(f.get("kind", "base") == "delta" for f in files)):
             # explicit schema: files written before a schema evolution lack the new
             # columns; the parquet reader null-fills by name (union-by-name read).
             df = self.spark.read.schema(schema).parquet(*[f["path"] for f in files])
-        has_deltas = any(f.get("kind", "base") == "delta" for f in files)
-        if resolve and has_deltas:
+        else:
+            # delta-aware resolution pruning: a bucket with only base files is
+            # already one-row-per-key (bases are written LWW-resolved; each
+            # commit writes ≤1 file per bucket and COW/compaction replace a
+            # bucket's files wholesale), so the LWW reduce — the only shuffle
+            # in this plan — runs over delta-bearing buckets alone. At scale,
+            # read cost follows the hot working set, not the table size.
             from etl_geo_dem_spark.operators.lww import lww_winners_agg
 
-            df = lww_winners_agg(
-                df,
+            delta_buckets = {
+                f["bucket"] for f in files if f.get("kind", "base") == "delta"
+            }
+            hot = [f for f in files if f["bucket"] in delta_buckets]
+            cold = [f for f in files if f["bucket"] not in delta_buckets]
+            resolved = lww_winners_agg(
+                self.spark.read.schema(schema).parquet(*[f["path"] for f in hot]),
                 snap.get("key_cols", ["conv_id", "turn_idx"]),
                 snap.get("order_cols", ["ts", "lsn"]),
             )
+            if cold:
+                resolved = self.spark.read.schema(schema).parquet(
+                    *[f["path"] for f in cold]
+                ).unionByName(resolved)
+            df = resolved
         if not include_deleted and "_deleted" in df.columns:
             df = df.filter(~F.col("_deleted"))
         return df

@@ -114,3 +114,34 @@ def test_mor_auto_compaction_bounds_delta_chains(spark, warehouse):
     assert got["text"].fillna("∅").tolist() == [
         r["text"] if r["text"] is not None else "∅" for r in exp
     ]
+
+
+def test_mor_read_resolves_only_delta_buckets(spark, warehouse):
+    """Resolution pruning: after compaction + one small epoch, the LWW reduce
+    in the read plan covers only delta-bearing buckets; base-only buckets
+    stream through without the shuffle. Final state must equal the COW twin
+    (per-epoch full resolution)."""
+    import datetime
+
+    from etl_geo_dem_spark.schemas import CHANGE_SCHEMA
+
+    ch = generate_changes(spark, 3000, n_conv=300, n_epochs=2, evolve_from_epoch=None)
+    mor = _replay(spark, warehouse, "mor_pruned",
+                  EngineConfig(merge_mode="mor", max_deltas_per_bucket=0), ch, evolve=None)
+    cow = _replay(spark, warehouse, "cow_twin", COW, ch, evolve=None)
+    mor.compact()  # all buckets base-only now
+    one = spark.createDataFrame(
+        [("U", "conv_000000007", 1, "user", "hot", None,
+          datetime.datetime(2031, 1, 1), 10**9, 99)],
+        CHANGE_SCHEMA,
+    )
+    apply_changes(mor, one, 99, EngineConfig(merge_mode="mor", max_deltas_per_bucket=0))
+    apply_changes(cow, one, 99, COW)
+
+    snap = mor.snapshot()
+    delta_buckets = {f["bucket"] for f in snap["files"] if f.get("kind") == "delta"}
+    assert len(delta_buckets) == 1  # one hot bucket
+    got = _state(mor)
+    exp = _state(cow)
+    assert got.equals(exp)
+    assert got[(got.conv_id == "conv_000000007") & (got.turn_idx == 1)]["text"].iloc[0] == "hot"
