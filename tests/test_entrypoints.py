@@ -62,3 +62,19 @@ def test_sql_serving_view(spark, tmp_path):
     assert len(rows) > 0 and all(r["text"] is not None for r in rows)
     total = spark.sql("SELECT count(*) AS n FROM transcripts").collect()[0]["n"]
     assert total == table.read_public().count()
+
+
+def test_graded_window_holds_exactly_50_primary_queries():
+    """The driver grades the first 50 sorted query names. Guard the invariant:
+    exactly 50 primary (non-zz_) queries, every zz_ variant sorts after them,
+    and every primary query except the documented rows-only ones has an
+    oracle."""
+    import __spark_entry__ as m
+
+    names = sorted(m.queries())
+    primary = [n for n in names if not n.startswith("zz_")]
+    assert len(primary) == 50, f"graded window broken: {len(primary)} primary queries"
+    assert names[:50] == primary  # zz_ all sort past the window
+    oracles = m.oracle_sql()
+    missing = [n for n in primary if n not in oracles]
+    assert missing == [], f"primary queries without oracle: {missing}"
