@@ -438,6 +438,49 @@ class LakeTable:
             expected_parent=base_version,
         )
 
+    def clone(self, dest_path: str, version: int | None = None) -> "LakeTable":
+        """Dump/restore replication (S12): copy a snapshot-consistent replica
+        to ``dest_path`` — every snapshot up to ``version`` (default: current),
+        the epoch-manifest lineage, and exactly the data files those snapshots
+        reference (orphans and newer in-flight commits are not shipped).
+
+        The copy is consistent without locking: snapshots are immutable once
+        written and data files are never mutated, so reading the snapshot
+        first and copying the files it lists afterwards cannot tear. File
+        paths inside snapshots are rewritten to the destination root; the
+        `_current` pointer is written LAST, so a crashed clone is invisible
+        (LakeTable.exists() is false) rather than half-alive.
+
+        Reference analog: pg_dump/restore replication of the loaded tile DB
+        (`pipeline_load_localPG.py`, SURVEY §2.1 S12) — here O(referenced
+        files) cp, re-runnable, no server."""
+        v = self.current_version() if version is None else version
+        dest = LakeTable(self.spark, dest_path)
+        if dest.exists():
+            raise FileExistsError(f"destination table already exists at {dest_path}")
+        os.makedirs(dest._snap_dir, exist_ok=True)
+        os.makedirs(dest.manifest_dir, exist_ok=True)
+        os.makedirs(os.path.join(dest_path, "data"), exist_ok=True)
+        src_root = os.path.realpath(self.path)
+        for sv in range(1, v + 1):
+            snap = self.snapshot(sv)
+            for f in snap["files"]:
+                rel = os.path.relpath(os.path.realpath(f["path"]), src_root)
+                target = os.path.join(dest_path, rel)
+                os.makedirs(os.path.dirname(target), exist_ok=True)
+                if not os.path.exists(target):  # shared across snapshots: copy once
+                    shutil.copy2(f["path"], target)
+                f["path"] = target
+            with open(dest._snap_path(sv), "x") as fh:
+                json.dump(snap, fh)
+        for p in sorted(glob.glob(os.path.join(self.manifest_dir, "epoch_*.json"))):
+            shutil.copy2(p, os.path.join(dest.manifest_dir, os.path.basename(p)))
+        tmp = dest._current_path + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(str(v))
+        os.replace(tmp, dest._current_path)
+        return dest
+
     def delta_counts(self) -> dict[int, int]:
         """Number of delta files per bucket in the current snapshot."""
         out: dict[int, int] = {}
