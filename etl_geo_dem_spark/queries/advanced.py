@@ -18,14 +18,32 @@ from etl_geo_dem_spark.queries.registry import register, t
 
 
 def _cooccurrence_edges(ev):
-    """Undirected edges between users with events within 5 s of each other."""
-    a = ev.select(F.col("user_id").alias("ua"), F.col("ts").alias("ta"))
-    b = ev.select(F.col("user_id").alias("ub"), F.col("ts").alias("tb"))
-    pairs = a.join(
-        b,
+    """Undirected edges between users with events within 5 s of each other.
+
+    Blocked range join: a bare (ua < ub AND |ta−tb| ≤ 5s) predicate has no
+    equi key, so Spark plans a nested-loop/cartesian join — O(n²) comparisons
+    (hung >9 min at sf0.1's 100k events). Two timestamps within 5 s must fall
+    in the same or adjacent floor(t/5s) buckets, so the a-side explodes into
+    its bucket ±1 and the join becomes equi-on-bucket with the exact range as
+    a residual — identical output (final .distinct() absorbs multi-bucket
+    matches), shuffle driven by the bucket key. Same plan shape as
+    join_neighbourhood_window (J9) and the standard interval-join blocking."""
+    # ts is TIMESTAMP_NTZ in the driver parquet; route through TIMESTAMP (UTC
+    # session) to get fractional epoch seconds
+    sec = F.col("ts").cast("timestamp").cast("double")
+    e = ev.select("user_id", "ts", F.floor(sec / 5).cast("long").alias("bk"))
+    a = e.select(
+        F.col("user_id").alias("ua"),
+        F.col("ts").alias("ta"),
+        F.explode(
+            F.array(F.col("bk") - 1, F.col("bk"), F.col("bk") + 1)
+        ).alias("bk"),
+    )
+    b = e.select(F.col("user_id").alias("ub"), F.col("ts").alias("tb"), "bk")
+    pairs = a.join(b, "bk").filter(
         (F.col("ua") < F.col("ub"))
         & (F.col("tb") >= F.col("ta") - F.expr("INTERVAL 5 SECONDS"))
-        & (F.col("tb") <= F.col("ta") + F.expr("INTERVAL 5 SECONDS")),
+        & (F.col("tb") <= F.col("ta") + F.expr("INTERVAL 5 SECONDS"))
     )
     return pairs.select("ua", "ub").distinct()
 
