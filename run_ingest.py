@@ -39,6 +39,11 @@ def main(argv=None):
     p.add_argument("--n-buckets", type=int, default=32)
     p.add_argument("--master", default=None)
     p.add_argument("--strategy", default="agg", choices=["agg", "window", "salted_window"])
+    p.add_argument(
+        "--merge-mode", default="mor", choices=["mor", "cow"],
+        help="mor = O(batch) delta appends + read-time LWW + auto-compaction "
+             "(the ingest default); cow = rewrite touched buckets per epoch",
+    )
     args = p.parse_args(argv)
 
     spark = get_spark(master=args.master, app_name="cdc_ingest")
@@ -53,12 +58,27 @@ def main(argv=None):
             n_epochs=args.epochs, evolve_from_epoch=max(1, args.epochs - 2),
         )
     elif args.source:
-        changes = spark.read.schema(CHANGE_SCHEMA).parquet(args.source)
+        # mergeSchema, not a fixed schema: change files written AFTER an
+        # additive schema evolution carry extra payload columns that the fixed
+        # CHANGE_SCHEMA read would silently null out before the engine ever
+        # saw them — evolution must reach apply_changes to evolve the table
+        changes = spark.read.option("mergeSchema", "true").parquet(args.source)
+        missing = [f.name for f in CHANGE_SCHEMA.fields if f.name not in changes.columns]
+        if missing:
+            p.error(f"--source files lack required change columns: {missing}")
     else:
         p.error("one of --source / --synthetic is required")
 
     t0 = time.time()
-    manifests = replay(t, changes, EngineConfig(dedup_strategy=args.strategy, n_buckets=args.n_buckets))
+    manifests = replay(
+        t,
+        changes,
+        EngineConfig(
+            dedup_strategy=args.strategy,
+            n_buckets=args.n_buckets,
+            merge_mode=args.merge_mode,
+        ),
+    )
     wall = time.time() - t0
     applied = sum(m.get("input_events", 0) for m in manifests)
     print(
