@@ -225,7 +225,15 @@ class LakeTable:
         return df.drop("lsn", "_deleted")
 
     # ----------------------------------------------------------------- write
-    def write_data_files(self, df: DataFrame, kind: str = "base") -> list[dict[str, Any]]:
+    # default per-file row cap, matching EngineConfig.target_file_rows — at
+    # ~100 B/row this keeps files in the hundreds-of-MB band parquet readers
+    # like; one hot bucket-epoch therefore splits instead of producing one
+    # multi-GB file that a single task must later scan.
+    TARGET_FILE_ROWS = 5_000_000
+
+    def write_data_files(
+        self, df: DataFrame, kind: str = "base", max_records_per_file: int | None = None
+    ) -> list[dict[str, Any]]:
         """Write ``df`` (must carry ``_bucket``) into a fresh commit dir.
 
         Returns file descriptors with per-file row/byte counts taken from parquet
@@ -253,11 +261,17 @@ class LakeTable:
         # serialize two buckets; 4× slots make collisions rare at no extra pass
         # (repartitionByRange would be exact but adds a sampling job that
         # recomputes the whole merge plan — measured 4× slower end-to-end).
-        # Still ≤1 file per bucket per commit (empty slots write nothing).
+        # ≤1 file per bucket per commit unless a bucket exceeds the per-file
+        # row cap, in which case the writer rolls additional files (all still
+        # key-sorted; every invariant downstream is per-bucket, not per-file).
         (
             df.repartition(4 * self.n_buckets(), F.col(BUCKET_COL))
             .sortWithinPartitions(*sort_cols)
             .write.partitionBy(BUCKET_COL)
+            .option(
+                "maxRecordsPerFile",
+                str(max_records_per_file or self.TARGET_FILE_ROWS),
+            )
             .mode("overwrite")
             .parquet(commit_dir)
         )

@@ -335,3 +335,35 @@ def test_data_files_sorted_by_key_within_file(spark, warehouse):
         assert t.sort_values(["conv_id", "turn_idx"], ignore_index=True).equals(
             t.reset_index(drop=True)
         ), f["path"]
+
+
+def test_oversized_bucket_rolls_multiple_sorted_files(spark, warehouse):
+    """A bucket whose commit exceeds the per-file row cap splits into several
+    files (the 100 TB file-sizing knob); reads stay exact and every rolled
+    file is still key-sorted."""
+    import pyarrow.parquet as pq
+
+    from etl_geo_dem_spark.plans.lake_table import BUCKET_COL, bucket_expr
+
+    table = _mk_table(spark, warehouse, n_buckets=4)
+    ch = _changes(spark, 2000, n_conv=50, n_epochs=1, evolve_from_epoch=None)
+    from etl_geo_dem_spark.operators.lww import lww_winners
+    from etl_geo_dem_spark.plans.merge import _to_state_shape
+
+    state = _to_state_shape(lww_winners(ch), table.schema()).withColumn(
+        BUCKET_COL, bucket_expr("conv_id", 4)
+    )
+    files = table.write_data_files(state, kind="base", max_records_per_file=50)
+    per_bucket = {}
+    for f in files:
+        per_bucket.setdefault(f["bucket"], []).append(f)
+    assert max(len(v) for v in per_bucket.values()) > 1  # a bucket rolled files
+    table.commit(files, summary={"operation": "merge", "epoch_id": 0},
+                 expected_parent=1)
+    live = state.filter(~F.col("_deleted")).count()  # read_public drops tombstones
+    assert table.read_public().count() == live
+    for f in files:
+        t = pq.read_table(f["path"], columns=["conv_id", "turn_idx"]).to_pandas()
+        assert t.sort_values(["conv_id", "turn_idx"], ignore_index=True).equals(
+            t.reset_index(drop=True)
+        )
