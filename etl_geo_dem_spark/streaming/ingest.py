@@ -38,13 +38,28 @@ def start_cdc_ingest(
     cfg: EngineConfig = EngineConfig(),
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    dedup_watermark: str | None = None,
 ):
     """Tail ``source_dir`` for change-event parquet files and MERGE each
-    micro-batch into ``table``. Returns the StreamingQuery."""
+    micro-batch into ``table``. Returns the StreamingQuery.
+
+    ``dedup_watermark`` (e.g. ``"30 minutes"``) enables a stateful
+    exact-duplicate pre-filter — ``dropDuplicatesWithinWatermark`` on the full
+    event identity ``(conv_id, turn_idx, ts, lsn)`` — that drops re-delivered
+    events across micro-batches BEFORE they reach the MERGE shuffle. Purely an
+    optimization for heavily duplicate-delivering sources (a WAL tail that
+    re-reads segments after reconnects): the LWW MERGE is already idempotent,
+    so final state is identical either way; what changes is shuffle volume.
+    State is bounded by the watermark horizon, exactly like the reference's
+    bounded out-of-orderness assumption (tombstone horizon)."""
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
+    if dedup_watermark:
+        stream = stream.withWatermark("ts", dedup_watermark).dropDuplicatesWithinWatermark(
+            ["conv_id", "turn_idx", "ts", "lsn"]
+        )
 
     def sink(batch_df, batch_id: int):
         apply_changes(table, batch_df, epoch_id=batch_id, cfg=cfg)

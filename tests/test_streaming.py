@@ -114,3 +114,32 @@ def test_stateful_running_conversation_state(spark, tmp_path):
     assert len(out) > 0
     exp_max = ch.agg(F.max("lsn")).collect()[0][0]
     assert out["max_lsn"].max() == exp_max
+
+
+def test_stream_dedup_watermark_preserves_final_state(spark, warehouse, tmp_path):
+    """dropDuplicatesWithinWatermark pre-filter: a stream whose every segment
+    is delivered TWICE (WAL re-read after reconnect) converges to the same
+    final state with and without the stateful pre-dedup — the filter only cuts
+    shuffle volume, the LWW MERGE already guarantees idempotence."""
+    src = str(tmp_path / "incoming_dup")
+    ch = generate_changes(spark, 800, n_conv=30, n_epochs=2)
+    for e in range(2):
+        seg = ch.filter(F.col("epoch") == e).coalesce(1)
+        seg.write.mode("overwrite").parquet(os.path.join(src, f"seg_{e}"))
+        seg.write.mode("overwrite").parquet(os.path.join(src, f"seg_{e}_redelivered"))
+
+    tables = {}
+    for tag, wm in (("plain", None), ("dedup", "2 hours")):
+        t = LakeTable.create(
+            spark, os.path.join(warehouse, f"wm_{tag}"), STATE_SCHEMA, n_buckets=8
+        )
+        q = start_cdc_ingest(
+            spark, t, src + "/*/", CHANGE_SCHEMA,
+            str(tmp_path / f"ckpt_{tag}"), max_files_per_trigger=1,
+            dedup_watermark=wm,
+        )
+        q.awaitTermination(180)
+        tables[tag] = t.read_public().orderBy("conv_id", "turn_idx").toPandas()
+
+    assert len(tables["plain"]) > 0
+    assert tables["plain"].equals(tables["dedup"])
