@@ -176,3 +176,35 @@ def test_kafka_shaped_debezium_adapter(spark, warehouse):
     assert {"_src_topic", "_src_partition", "_src_offset"} <= set(lineage.columns)
     offs = {r["_src_offset"] for r in lineage.collect()}
     assert offs == {100, 101, 50, 51}
+
+
+def test_manifest_grouped_ingest_parallel_fetch_and_resume(spark, warehouse, tmp_path):
+    """files_per_epoch > 1 (S5 parallel partitioned fetch): a group of files
+    loads through ONE multi-path read and commits as one epoch; restart skips
+    whole committed groups and finishes the tail; final state equals the
+    one-file-per-epoch ingest of the same manifest."""
+    from etl_geo_dem_spark.sources.manifest import applied_paths, ingest_manifest
+
+    ch = generate_changes(spark, 1500, n_conv=40, n_epochs=5, evolve_from_epoch=None)
+    paths = []
+    for e in range(5):
+        p = str(tmp_path / f"c{e}.parquet")
+        ch.filter(F.col("epoch") == e).coalesce(1).write.parquet(p)
+        paths.append(p)
+    mf = tmp_path / "m.txt"
+    mf.write_text("\n".join(paths) + "\n")
+
+    grouped = LakeTable.create(spark, os.path.join(warehouse, "grp"), STATE_SCHEMA, n_buckets=4)
+    out = ingest_manifest(spark, grouped, str(mf), CHANGE_SCHEMA, files_per_epoch=2)
+    assert [m["status"] for m in out] == ["committed"] * 3  # 2+2+1 files
+    assert applied_paths(grouped) == set(paths)
+    assert out[0]["source_paths"] == paths[:2]
+
+    # restart: nothing left to do
+    assert ingest_manifest(spark, grouped, str(mf), CHANGE_SCHEMA, files_per_epoch=2) == []
+
+    serial = LakeTable.create(spark, os.path.join(warehouse, "ser"), STATE_SCHEMA, n_buckets=4)
+    ingest_manifest(spark, serial, str(mf), CHANGE_SCHEMA)
+    a = grouped.read_public().orderBy("conv_id", "turn_idx").toPandas()
+    b = serial.read_public().orderBy("conv_id", "turn_idx").toPandas()
+    assert a.equals(b)
