@@ -39,12 +39,6 @@ def bucket_of(conv_id: Column | str, n_buckets: int) -> Column:
     return F.pmod(F.xxhash64(c), F.lit(n_buckets)).cast("int")
 
 
-def salted_key(conv_id: Column | str, salt_source: Column, n_salt: int) -> Column:
-    """conv_id#salt composite for the hot-key dedup stage (SURVEY §4 skew)."""
-    c = conv_id if isinstance(conv_id, Column) else F.col(conv_id)
-    return F.concat(c, F.lit("#"), F.pmod(F.xxhash64(salt_source), F.lit(n_salt)).cast("string"))
-
-
 def register_sql_views(spark: SparkSession, table_path: str) -> None:
     """Serving path (P5 analog of the reference's stored procedures,
     `model_data.py:216-333`): register the live transcript state as a SQL view

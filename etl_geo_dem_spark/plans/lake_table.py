@@ -112,6 +112,7 @@ class LakeTable:
                 "key_col": key_col,
                 "key_cols": key_cols or ["conv_id", "turn_idx"],
                 "order_cols": order_cols or ["ts", "lsn"],
+                "stream_watermarks": {},
                 "files": [],
                 "summary": {"operation": "create", "epoch_id": -1},
             }
@@ -156,8 +157,22 @@ class LakeTable:
         return self.snapshot().get("key_col", "conv_id")
 
     def last_epoch(self) -> int:
-        """Highest epoch id committed — the exactly-once watermark."""
+        """Highest BATCH epoch id committed — the exactly-once watermark for
+        the batch replay path (streaming sources have their own per-stream
+        watermarks, :meth:`last_stream_epoch`)."""
         return int(self.snapshot()["summary"].get("epoch_id", -1))
+
+    def last_stream_epoch(self, stream_id: str) -> int:
+        """Highest micro-batch id committed BY THIS STREAM — the exactly-once
+        watermark for a streaming source.
+
+        Micro-batch ids restart from 0 with every fresh streaming checkpoint,
+        so a single global watermark cannot serve them: a table bootstrapped by
+        batch replay to epoch 9 would silently skip a new stream's batches
+        0..9 (data loss). Keying the skip on the stream identity fixes that —
+        the reference analog is that the restart anti-join must key on the
+        WORK SOURCE, not a global counter (`pipeline_flows.py:210-221`)."""
+        return int(self.snapshot().get("stream_watermarks", {}).get(stream_id, -1))
 
     # ------------------------------------------------------------------ read
     def read(
@@ -297,8 +312,14 @@ class LakeTable:
         summary: dict[str, Any],
         schema: T.StructType | None = None,
         expected_parent: int | None = None,
+        stream_watermarks: dict[str, int] | None = None,
     ) -> int:
         """Commit a new snapshot; returns the new version number.
+
+        ``stream_watermarks`` replaces the per-stream watermark map for this
+        snapshot; when omitted, the parent's map carries forward unchanged (so
+        batch commits, compaction and tombstone GC never regress a stream's
+        exactly-once progress).
 
         ``expected_parent`` is the compare-and-swap guard: callers that derived
         ``files`` from a snapshot read earlier pass that snapshot's version, and
@@ -323,6 +344,11 @@ class LakeTable:
             "key_col": prev.get("key_col", "conv_id"),
             "key_cols": prev.get("key_cols", ["conv_id", "turn_idx"]),
             "order_cols": prev.get("order_cols", ["ts", "lsn"]),
+            "stream_watermarks": (
+                stream_watermarks
+                if stream_watermarks is not None
+                else prev.get("stream_watermarks", {})
+            ),
             "files": files,
             "summary": summary,
         }
@@ -343,13 +369,24 @@ class LakeTable:
         os.replace(tmp, self._current_path)  # atomic pointer swap
 
     # ------------------------------------------------------------- manifests
-    def write_epoch_manifest(self, epoch_id: int, manifest: dict[str, Any]) -> str:
+    def write_epoch_manifest(
+        self, epoch_id: int, manifest: dict[str, Any], stream_id: str | None = None
+    ) -> str:
         """Advisory per-epoch lineage JSON (atomicity lives in the snapshot;
         this file is recomputable from it). Analog of the reference's per-call
         lineage log (`scripts/pipelines/model_pipeline.py:37-73`) and JSON
-        metadata records (`scripts/docs/compile_json_metadata.py:190-220`)."""
+        metadata records (`scripts/docs/compile_json_metadata.py:190-220`).
+
+        Stream micro-batch manifests are namespaced by a hash of the stream id:
+        two streams (or a stream and the batch path) can otherwise share an
+        epoch number and would overwrite each other's lineage."""
+        import hashlib
+
         os.makedirs(self.manifest_dir, exist_ok=True)
-        p = os.path.join(self.manifest_dir, f"epoch_{epoch_id:012d}.json")
+        scope = (
+            f"s{hashlib.md5(stream_id.encode()).hexdigest()[:10]}_" if stream_id else ""
+        )
+        p = os.path.join(self.manifest_dir, f"epoch_{scope}{epoch_id:012d}.json")
         tmp = p + ".tmp"
         with open(tmp, "w") as f:
             json.dump(manifest, f, indent=1)
@@ -408,49 +445,72 @@ class LakeTable:
                 shutil.rmtree(d, ignore_errors=True)
         return removed
 
-    def expire_tombstones(self, below_lsn: int) -> int:
+    def _retrying_commit(self, build_and_commit, retries: int):
+        """Optimistic-concurrency retry loop shared by the maintenance
+        rewrites: on :class:`CommitConflict`, re-read the (new) snapshot and
+        re-derive the rewrite from it — never commit files computed from a
+        stale base, or the interloper's rows would vanish. Orphaned data files
+        from losing attempts are reaped by :meth:`vacuum`."""
+        attempt = 0
+        while True:
+            try:
+                return build_and_commit()
+            except CommitConflict:
+                if attempt >= retries:
+                    raise
+                attempt += 1
+
+    def expire_tombstones(self, below_lsn: int, retries: int = 2) -> int:
         """GC delete markers older than a safety horizon.
 
         Tombstones must outlive the maximum out-of-orderness of the stream
         (they exist to beat late events in LWW — plans/merge.py). Once the
         source guarantees no event below ``below_lsn`` can still arrive, the
         markers are dead weight and compaction may drop them. Returns the new
-        snapshot version."""
-        base_version = self.current_version()
-        df = self.read(version=base_version, include_deleted=True).filter(
-            ~(F.col("_deleted") & (F.col("lsn") < below_lsn))
-        )
-        key = self.key_col()
-        n = self.n_buckets()
-        files = self.write_data_files(df.withColumn(BUCKET_COL, bucket_expr(key, n)))
-        return self.commit(
-            files,
-            summary={
-                "operation": "expire_tombstones",
-                "epoch_id": self.last_epoch(),
-                "tombstone_horizon_lsn": below_lsn,
-            },
-            expected_parent=base_version,
-        )
+        snapshot version. Retries on concurrent-commit conflicts."""
 
-    def compact(self) -> int:
+        def attempt() -> int:
+            base_version = self.current_version()
+            df = self.read(version=base_version, include_deleted=True).filter(
+                ~(F.col("_deleted") & (F.col("lsn") < below_lsn))
+            )
+            key = self.key_col()
+            n = self.n_buckets()
+            files = self.write_data_files(df.withColumn(BUCKET_COL, bucket_expr(key, n)))
+            return self.commit(
+                files,
+                summary={
+                    "operation": "expire_tombstones",
+                    "epoch_id": self.last_epoch(),
+                    "tombstone_horizon_lsn": below_lsn,
+                },
+                expected_parent=base_version,
+            )
+
+        return self._retrying_commit(attempt, retries)
+
+    def compact(self, retries: int = 2) -> int:
         """Rewrite current live state into one base file per bucket
         (rewrite_data_files analog; folds merge-on-read deltas). Returns the
-        new snapshot version."""
-        base_version = self.current_version()
-        df = self.read(version=base_version, include_deleted=True)
-        key = self.key_col()
-        n = self.n_buckets()
-        files = self.write_data_files(df.withColumn(BUCKET_COL, bucket_expr(key, n)))
-        return self.commit(
-            files,
-            summary={
-                "operation": "compact",
-                "epoch_id": self.last_epoch(),
-                "files": len(files),
-            },
-            expected_parent=base_version,
-        )
+        new snapshot version. Retries on concurrent-commit conflicts."""
+
+        def attempt() -> int:
+            base_version = self.current_version()
+            df = self.read(version=base_version, include_deleted=True)
+            key = self.key_col()
+            n = self.n_buckets()
+            files = self.write_data_files(df.withColumn(BUCKET_COL, bucket_expr(key, n)))
+            return self.commit(
+                files,
+                summary={
+                    "operation": "compact",
+                    "epoch_id": self.last_epoch(),
+                    "files": len(files),
+                },
+                expected_parent=base_version,
+            )
+
+        return self._retrying_commit(attempt, retries)
 
     def clone(self, dest_path: str, version: int | None = None) -> "LakeTable":
         """Dump/restore replication (S12): copy a snapshot-consistent replica
@@ -465,6 +525,13 @@ class LakeTable:
         `_current` pointer is written LAST, so a crashed clone is invisible
         (LakeTable.exists() is false) rather than half-alive.
 
+        Snapshots whose data files were already reclaimed by :meth:`vacuum`
+        (their JSONs stay, their files don't) are SKIPPED rather than failing
+        the clone — the replica keeps exactly the time-travel range the source
+        can still serve. The target ``version`` itself must be fully present.
+        Any failure removes the partial destination dir (a clone is all or
+        nothing, never a half-built pointer-less tree).
+
         Reference analog: pg_dump/restore replication of the loaded tile DB
         (`pipeline_load_localPG.py`, SURVEY §2.1 S12) — here O(referenced
         files) cp, re-runnable, no server."""
@@ -472,28 +539,193 @@ class LakeTable:
         dest = LakeTable(self.spark, dest_path)
         if dest.exists():
             raise FileExistsError(f"destination table already exists at {dest_path}")
-        os.makedirs(dest._snap_dir, exist_ok=True)
-        os.makedirs(dest.manifest_dir, exist_ok=True)
-        os.makedirs(os.path.join(dest_path, "data"), exist_ok=True)
-        src_root = os.path.realpath(self.path)
-        for sv in range(1, v + 1):
-            snap = self.snapshot(sv)
-            for f in snap["files"]:
-                rel = os.path.relpath(os.path.realpath(f["path"]), src_root)
-                target = os.path.join(dest_path, rel)
-                os.makedirs(os.path.dirname(target), exist_ok=True)
-                if not os.path.exists(target):  # shared across snapshots: copy once
-                    shutil.copy2(f["path"], target)
-                f["path"] = target
-            with open(dest._snap_path(sv), "x") as fh:
-                json.dump(snap, fh)
-        for p in sorted(glob.glob(os.path.join(self.manifest_dir, "epoch_*.json"))):
-            shutil.copy2(p, os.path.join(dest.manifest_dir, os.path.basename(p)))
-        tmp = dest._current_path + f".tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as fh:
-            fh.write(str(v))
-        os.replace(tmp, dest._current_path)
+        created_root = not os.path.exists(dest_path)
+        try:
+            os.makedirs(dest._snap_dir, exist_ok=True)
+            os.makedirs(dest.manifest_dir, exist_ok=True)
+            os.makedirs(os.path.join(dest_path, "data"), exist_ok=True)
+            src_root = os.path.realpath(self.path)
+            for sv in range(1, v + 1):
+                snap = self.snapshot(sv)
+                if any(not os.path.exists(f["path"]) for f in snap["files"]):
+                    if sv == v:
+                        raise FileNotFoundError(
+                            f"cannot clone v{v}: its data files were vacuumed"
+                        )
+                    continue  # expired snapshot, files reclaimed by vacuum
+                for f in snap["files"]:
+                    rel = os.path.relpath(os.path.realpath(f["path"]), src_root)
+                    target = os.path.join(dest_path, rel)
+                    os.makedirs(os.path.dirname(target), exist_ok=True)
+                    if not os.path.exists(target):  # shared across snapshots: copy once
+                        shutil.copy2(f["path"], target)
+                    f["path"] = target
+                with open(dest._snap_path(sv), "x") as fh:
+                    json.dump(snap, fh)
+            for p in sorted(glob.glob(os.path.join(self.manifest_dir, "epoch_*.json"))):
+                shutil.copy2(p, os.path.join(dest.manifest_dir, os.path.basename(p)))
+            tmp = dest._current_path + f".tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as fh:
+                fh.write(str(v))
+            os.replace(tmp, dest._current_path)
+        except BaseException:
+            if created_root:
+                shutil.rmtree(dest_path, ignore_errors=True)
+            raise
         return dest
+
+    # ------------------------------------------------------- metadata tables
+    def history_df(self) -> DataFrame:
+        """Snapshot history as a DataFrame (Iceberg ``table.history`` /
+        ``snapshots`` metadata-table analog): one row per committed snapshot
+        with its operation, epoch watermark and file statistics — queryable
+        observability without touching any data file."""
+        rows = [
+            {
+                "version": s["version"],
+                "parent": s.get("parent"),
+                "created_ms": s["created_ms"],
+                "operation": s["summary"].get("operation"),
+                "epoch_id": s["summary"].get("epoch_id"),
+                "stream_id": s["summary"].get("stream_id"),
+                "n_files": len(s["files"]),
+                "total_rows": sum(f["rows"] for f in s["files"]),
+                "total_bytes": sum(f["bytes"] for f in s["files"]),
+            }
+            for s in self.history()
+        ]
+        schema = (
+            "version int, parent int, created_ms long, operation string, "
+            "epoch_id long, stream_id string, n_files int, total_rows long, "
+            "total_bytes long"
+        )
+        return self.spark.createDataFrame(rows, schema)
+
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """Data-file inventory of one snapshot as a DataFrame (Iceberg
+        ``files`` metadata table analog) — feeds small-file/skew audits:
+        ``files_df().groupBy('bucket').agg(sum('bytes'))`` shows hot buckets
+        from metadata alone."""
+        snap = self.snapshot(version)
+        rows = [
+            {
+                "path": f["path"],
+                "bucket": f["bucket"],
+                "kind": f.get("kind", "base"),
+                "rows": f["rows"],
+                "bytes": f["bytes"],
+            }
+            for f in snap["files"]
+        ]
+        schema = "path string, bucket int, kind string, rows long, bytes long"
+        return self.spark.createDataFrame(rows, schema)
+
+    def table_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Row-level change data feed (CDF) between two committed snapshots —
+        the OUTBOUND side of a CDC engine (Delta/Iceberg changelog analog,
+        from scratch): every key whose visible state differs between
+        ``from_version`` and ``to_version`` (default: current), tagged
+        ``_change_type`` ∈ {insert, update_postimage, delete}. Downstream
+        consumers replay this feed to stay in sync without re-reading the
+        table.
+
+        Plan shape (scale-safe): only buckets whose FILE SET changed between
+        the two snapshots are read (metadata-only pruning — a quiet 100 TB
+        table with one hot bucket diffs one bucket); the two states
+        full-outer-join per key, and "changed" is decided by (order_cols)
+        equality — LWW state moves only when its (ts, lsn) stamp moves, so no
+        payload comparison is needed. A pure-compaction range (files rewritten,
+        logical state identical) yields zero rows.
+
+        Requires ``from_version``'s data files to still exist: vacuum()
+        truncates the CDF horizon exactly like Iceberg's expire_snapshots."""
+        v2 = self.current_version() if to_version is None else to_version
+        v1 = from_version
+        s1, s2 = self.snapshot(v1), self.snapshot(v2)
+        key_cols = s2.get("key_cols", ["conv_id", "turn_idx"])
+        order_cols = s2.get("order_cols", ["ts", "lsn"])
+        schema2 = T.StructType.fromJson(s2["schema"])
+        cols = [f.name for f in schema2.fields]
+
+        paths1 = {f["path"] for f in s1["files"]}
+        paths2 = {f["path"] for f in s2["files"]}
+        touched = sorted(
+            {f["bucket"] for f in s2["files"] if f["path"] not in paths1}
+            | {f["bucket"] for f in s1["files"] if f["path"] not in paths2}
+        )
+        out_fields = [f for f in schema2.fields if f.name != "_deleted"]
+        out_schema = T.StructType(
+            list(out_fields) + [T.StructField("_change_type", T.StringType(), False)]
+        )
+        if not touched:
+            return self.spark.createDataFrame([], out_schema)
+
+        old = self.read(version=v1, buckets=touched, include_deleted=True)
+        for f in schema2.fields:  # additive evolution: null-fill pre-evolution state
+            if f.name not in old.columns:
+                old = old.withColumn(f.name, F.lit(None).cast(f.dataType))
+        old = old.select(
+            *key_cols,
+            *[F.col(c).alias(f"_old_{c}") for c in cols if c not in key_cols],
+        )
+        new = self.read(version=v2, buckets=touched, include_deleted=True)
+
+        j = new.join(old, key_cols, "full_outer")
+        same_stamp = F.lit(True)
+        for c in order_cols:
+            same_stamp = same_stamp & F.col(c).eqNullSafe(F.col(f"_old_{c}"))
+        old_live = F.col("_old_lsn").isNotNull() & ~F.coalesce(
+            F.col("_old__deleted"), F.lit(False)
+        )
+        # a key can exist only on the old side (its tombstone was GC'd by
+        # expire_tombstones): require an actual new-side row for liveness or
+        # that case would surface as a phantom null-payload insert
+        new_live = F.col("lsn").isNotNull() & ~F.coalesce(F.col("_deleted"), F.lit(False))
+        change = (
+            F.when(same_stamp, F.lit(None))  # unchanged key in a touched bucket
+            .when(new_live & ~old_live, F.lit("insert"))
+            .when(new_live & old_live, F.lit("update_postimage"))
+            .when(~new_live & old_live, F.lit("delete"))
+            .otherwise(F.lit(None))  # tombstone refresh / never-visible key
+        )
+        return (
+            j.withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .select(*[f.name for f in out_fields], "_change_type")
+        )
+
+    def export_parquet(self, dest_dir: str, version: int | None = None) -> dict[str, Any]:
+        """Interop export: materialize the PUBLIC table state (tombstones and
+        internal columns dropped) as plain parquet any engine can read with no
+        knowledge of the snapshot format, plus an ``_export_manifest.json``
+        (underscore-prefixed: parquet readers skip it like ``_SUCCESS``)
+        recording schema, row count and the source snapshot version.
+
+        Deletes/updates are already resolved by the read, so the export is a
+        consistent point-in-time extract — the lake analog of the reference's
+        dump-for-downstream step (`pipeline_load_localPG.py`, S12/S16). Row
+        counts come from the written parquet footers (no second pass).
+        Returns the manifest dict."""
+        v = self.current_version() if version is None else version
+        df = self.read_public(version=v)
+        df.write.mode("error").parquet(dest_dir)
+        import pyarrow.parquet as pq
+
+        part_files = sorted(glob.glob(os.path.join(dest_dir, "*.parquet")))
+        rows = sum(pq.ParquetFile(p).metadata.num_rows for p in part_files)
+        manifest = {
+            "format": "parquet",
+            "schema": json.loads(df.schema.json()),
+            "rows": rows,
+            "files": len(part_files),
+            "bytes": sum(os.path.getsize(p) for p in part_files),
+            "source_table": self.path,
+            "source_snapshot_version": v,
+            "created_ms": int(time.time() * 1000),
+        }
+        with open(os.path.join(dest_dir, "_export_manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+        return manifest
 
     def delta_counts(self) -> dict[int, int]:
         """Number of delta files per bucket in the current snapshot."""
@@ -503,24 +735,29 @@ class LakeTable:
                 out[f["bucket"]] = out.get(f["bucket"], 0) + 1
         return out
 
-    def compact_buckets(self, buckets: list[int]) -> int:
+    def compact_buckets(self, buckets: list[int], retries: int = 2) -> int:
         """Fold base∪deltas into one base file for ONLY the given buckets —
         the bounded-read-amplification maintenance step for merge-on-read
         (Iceberg rewrite_data_files with a partition filter, from scratch).
-        Untouched buckets' files carry over unchanged."""
-        wanted = set(buckets)
-        snap = self.snapshot()
-        df = self.read(version=snap["version"], buckets=buckets, include_deleted=True)
-        key = self.key_col()
-        n = self.n_buckets()
-        new_files = self.write_data_files(df.withColumn(BUCKET_COL, bucket_expr(key, n)))
-        carried = [f for f in snap["files"] if f["bucket"] not in wanted]
-        return self.commit(
-            carried + new_files,
-            summary={
-                "operation": "compact_buckets",
-                "epoch_id": self.last_epoch(),
-                "buckets": sorted(wanted),
-            },
-            expected_parent=snap["version"],
-        )
+        Untouched buckets' files carry over unchanged. Retries on
+        concurrent-commit conflicts."""
+
+        def attempt() -> int:
+            wanted = set(buckets)
+            snap = self.snapshot()
+            df = self.read(version=snap["version"], buckets=buckets, include_deleted=True)
+            key = self.key_col()
+            n = self.n_buckets()
+            new_files = self.write_data_files(df.withColumn(BUCKET_COL, bucket_expr(key, n)))
+            carried = [f for f in snap["files"] if f["bucket"] not in wanted]
+            return self.commit(
+                carried + new_files,
+                summary={
+                    "operation": "compact_buckets",
+                    "epoch_id": self.last_epoch(),
+                    "buckets": sorted(wanted),
+                },
+                expected_parent=snap["version"],
+            )
+
+        return self._retrying_commit(attempt, retries)

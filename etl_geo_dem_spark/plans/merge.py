@@ -57,6 +57,21 @@ def _obs_value(obs: Observation, key: str, default: int = 0) -> int:
         return default
 
 
+def _bucket_lineage(new_files: list[dict[str, Any]]) -> dict[str, dict[str, Any]]:
+    """Per-bucket rows/bytes lineage, AGGREGATED across files: maxRecordsPerFile
+    can roll several files per bucket per commit, and a one-entry-per-bucket
+    dict would silently keep only the last file — under-reporting exactly the
+    hot buckets the lineage metrics exist to expose."""
+    out: dict[str, dict[str, Any]] = {}
+    for f in new_files:
+        e = out.setdefault(str(f["bucket"]), {"rows": 0, "bytes": 0, "files": 0, "paths": []})
+        e["rows"] += f["rows"]
+        e["bytes"] += f["bytes"]
+        e["files"] += 1
+        e["paths"].append(f["path"])
+    return out
+
+
 class SchemaEvolutionError(Exception):
     """Non-additive schema change in a change batch (type conflict / dropped col)."""
 
@@ -101,17 +116,59 @@ def apply_changes(
     epoch_id: int,
     cfg: EngineConfig = EngineConfig(),
     extra_manifest: dict[str, Any] | None = None,
+    stream_id: str | None = None,
+    retries: int = 2,
 ) -> dict[str, Any]:
     """Apply one epoch of change events to the table. Returns the epoch manifest.
 
     ``extra_manifest`` fields (e.g. a loader's ``source_path``) are merged into
     the epoch manifest BEFORE its first write, so lineage that restart logic
     depends on is recorded atomically with the epoch — never by a second write
-    that a crash could separate from the commit."""
+    that a crash could separate from the commit.
+
+    ``stream_id`` marks the epoch as a STREAMING micro-batch: the exactly-once
+    skip keys on the table's per-stream watermark (micro-batch ids restart at 0
+    with every fresh checkpoint, so the global batch watermark would wrongly
+    swallow them — see :meth:`LakeTable.last_stream_epoch`), and the commit
+    advances that stream's watermark instead of the global one.
+
+    ``retries``: on :class:`CommitConflict` (another writer — e.g. a concurrent
+    ``compact()`` — committed between our snapshot read and our commit), the
+    whole merge re-derives from the NEW snapshot and retries, Iceberg-style
+    optimistic concurrency. The conflicting attempt's data files become
+    unreferenced orphans that :meth:`LakeTable.vacuum` reaps."""
+    from etl_geo_dem_spark.plans.lake_table import CommitConflict
+
+    attempt = 0
+    while True:
+        try:
+            return _apply_changes_once(
+                table, batch, epoch_id, cfg, extra_manifest, stream_id
+            )
+        except CommitConflict:
+            if attempt >= retries:
+                raise
+            attempt += 1
+
+
+def _apply_changes_once(
+    table: LakeTable,
+    batch: DataFrame,
+    epoch_id: int,
+    cfg: EngineConfig,
+    extra_manifest: dict[str, Any] | None,
+    stream_id: str | None,
+) -> dict[str, Any]:
     t0 = time.time()
     last = table.last_epoch()
-    if epoch_id <= last:
-        return {"epoch_id": epoch_id, "status": "skipped", "last_committed_epoch": last}
+    watermark = table.last_stream_epoch(stream_id) if stream_id is not None else last
+    if epoch_id <= watermark:
+        return {
+            "epoch_id": epoch_id,
+            "status": "skipped",
+            "last_committed_epoch": watermark,
+            "stream_id": stream_id,
+        }
 
     snap = table.snapshot()
     n_buckets = table.n_buckets()
@@ -160,7 +217,9 @@ def apply_changes(
         # writes, no read of current state; the read path resolves LWW over
         # base ∪ deltas (LakeTable.read). Compaction folds deltas back.
         out = batch_state.observe(obs_out, F.count(F.lit(1)).alias("rows"))
-        new_files = table.write_data_files(out, kind="delta")
+        new_files = table.write_data_files(
+            out, kind="delta", max_records_per_file=cfg.target_file_rows
+        )
         carried = snap["files"]  # nothing rewritten, everything carries over
     else:
         target = table.read(buckets=touched, include_deleted=True)
@@ -175,7 +234,9 @@ def apply_changes(
             target.unionByName(batch_state), key_cols, order_cols, strategy="agg"
         )
         merged = merged.observe(obs_out, F.count(F.lit(1)).alias("rows"))
-        new_files = table.write_data_files(merged, kind="base")
+        new_files = table.write_data_files(
+            merged, kind="base", max_records_per_file=cfg.target_file_rows
+        )
         carried = [f for f in snap["files"] if f["bucket"] not in set(touched)]
     t_write = time.time() - t_write0
     batch_state.unpersist()
@@ -183,28 +244,46 @@ def apply_changes(
         carried + new_files,
         summary={
             "operation": "merge",
-            "epoch_id": epoch_id,
+            # a stream commit leaves the global batch watermark untouched and
+            # advances only its own stream watermark — the two resume paths
+            # must not regress each other.
+            "epoch_id": epoch_id if stream_id is None else last,
+            "stream_id": stream_id,
             "touched_buckets": touched,
             "new_files": len(new_files),
             "schema_evolved": new_cols,
         },
         schema=evolved,
         expected_parent=snap["version"],
+        stream_watermarks=(
+            None
+            if stream_id is None
+            else {**snap.get("stream_watermarks", {}), stream_id: epoch_id}
+        ),
     )
 
     # bounded read amplification under merge-on-read: fold any bucket whose
-    # delta chain exceeded the policy (SURVEY §4 "data layout for reads")
+    # delta chain exceeded the policy (SURVEY §4 "data layout for reads").
+    # The epoch is already committed at this point, so a compaction conflict
+    # (after its own internal retries) must NOT bubble up as a merge conflict —
+    # the fold is maintenance and safely deferred to the next epoch.
+    from etl_geo_dem_spark.plans.lake_table import CommitConflict
+
     compacted_buckets: list[int] = []
     if cfg.merge_mode == "mor" and cfg.max_deltas_per_bucket > 0:
         over = [
             b for b, c in table.delta_counts().items() if c >= cfg.max_deltas_per_bucket
         ]
         if over:
-            table.compact_buckets(over)
-            compacted_buckets = sorted(over)
+            try:
+                table.compact_buckets(over)
+                compacted_buckets = sorted(over)
+            except CommitConflict:
+                pass  # another writer won; delta chains fold on a later epoch
 
     manifest = {
         "epoch_id": epoch_id,
+        "stream_id": stream_id,
         "status": "committed",
         "snapshot_version": version,
         "input_events": _obs_value(obs_in, "events"),
@@ -216,10 +295,7 @@ def apply_changes(
         "compacted_buckets": compacted_buckets,
         "dedup_strategy": strategy,
         "hot_keys_detected": len(hot_keys) if hot_keys is not None else None,
-        "lineage": {
-            str(f["bucket"]): {"rows": f["rows"], "bytes": f["bytes"], "path": f["path"]}
-            for f in new_files
-        },
+        "lineage": _bucket_lineage(new_files),
         "duration_sec": round(time.time() - t0, 3),
         "phase_sec": {
             "dedup_and_prune": round(t_dedup, 3),
@@ -230,7 +306,7 @@ def apply_changes(
     }
     if extra_manifest:
         manifest.update(extra_manifest)
-    table.write_epoch_manifest(epoch_id, manifest)
+    table.write_epoch_manifest(epoch_id, manifest, stream_id=stream_id)
     return manifest
 
 

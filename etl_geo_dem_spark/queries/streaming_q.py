@@ -62,12 +62,25 @@ def cdc_engine_replay_smoke(spark, sf_dir):
     # previous sessions are reclaimed on entry.
     import shutil
 
+    import time
+
     tmp_root = tempfile.gettempdir()
     app_id = spark.sparkContext.applicationId
     wh = os.path.join(tmp_root, f"q_smoke_{app_id}")
+    # reclaim only STALE scratch (different app AND untouched for a grace
+    # period) — a concurrently running Spark application also has a different
+    # applicationId, and deleting its live scratch would break its cached
+    # results on eviction. 1 h of no-touch marks a dead past session.
+    now = time.time()
     for old in os.listdir(tmp_root):
+        p = os.path.join(tmp_root, old)
         if old.startswith("q_smoke_") and old != f"q_smoke_{app_id}":
-            shutil.rmtree(os.path.join(tmp_root, old), ignore_errors=True)
+            try:
+                stale = now - os.path.getmtime(p) > 3600
+            except OSError:
+                continue  # vanished under us
+            if stale:
+                shutil.rmtree(p, ignore_errors=True)
     tpath = os.path.join(wh, "t")
     if os.path.exists(tpath):
         # same-session re-run: the input is deterministic, so reuse the table

@@ -225,20 +225,27 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
       dropped during the join (keep-if-any-match-passes is conservative:
       the first common shingle has the loosest bound).
 
-    Survivors are verified EXACTLY via broadcast per-doc shingle arrays +
-    ``array_intersect`` — no exploded verify join. The DuckDB oracle is the
-    naive all-postings join: passing it proves the pruned plan preserves
-    semantics.
+    Survivors are verified EXACTLY via per-doc shingle arrays +
+    ``array_intersect`` — no exploded verify join. The array side is
+    BROADCAST while the corpus is small enough (the fast path: one hash
+    lookup per candidate, no shuffle) and switches to a shuffle
+    SortMergeJoin on doc_id past ``_BROADCAST_VERIFY_MAX_DOCS`` — at 100 TB
+    the doc→array map is tens of GB and must never ride the driver. Both
+    paths produce identical rows (pytest-audited, plus the plan shape).
+    The DuckDB oracle is the naive all-postings join: passing it proves the
+    pruned plan preserves semantics.
 
     Scale story at sf0.1 (5 000 docs, degenerate shared vocabulary): naive
     inverted-index join Σ(posting²) = 57 s; prefix-only filtering left 4.4 M
     candidates and a 37 s exploded verify; the length+positional filters cut
     candidates to 0.66 M and the array_intersect verify lands at ~6 s —
-    identical 256 output rows at every step. At 100 TB the doc→array side of
-    the verify outgrows a broadcast: swap it for a bucketed equi-join on
-    doc_id (same plan shape, one extra shuffle)."""
+    identical 256 output rows at every step."""
     tau = 0.8
     d = t(spark, sf_dir, "documents")
+    # parquet-footer row count (metadata-only job): decides the verify join
+    # strategy. ~100 distinct shingles/doc × ~36 B ≈ 4 KB of array per doc;
+    # 200k docs ≈ 800 MB serialized — the edge of a sane broadcast budget.
+    use_broadcast = d.count() <= _BROADCAST_VERIFY_MAX_DOCS
     sh = _shingle_postings(d)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
@@ -272,25 +279,36 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # exact verification: per-doc distinct-shingle arrays broadcast to the
-    # candidate pairs; common = |array_intersect| (postings are distinct/doc)
+    return _ngram_verify_pairs(cand, sh, tau, use_broadcast)
+
+
+# Broadcast the per-doc shingle-array map only below this corpus size; above
+# it, the exact verify becomes a shuffle SortMergeJoin on doc_id (the 100 TB
+# plan — the array map is then partitioned like any other table, never
+# driver-resident).
+_BROADCAST_VERIFY_MAX_DOCS = 200_000
+
+
+def _ngram_verify_pairs(cand, sh, tau, use_broadcast: bool):
+    """Exact Jaccard verification of candidate (doc_a, doc_b) pairs: join each
+    side to its distinct-shingle array, common = |array_intersect|, sizes come
+    from the arrays themselves (postings are distinct per doc, so |arr| == the
+    doc's shingle-set size — no separate sizes join needed)."""
     doc_arrays = sh.groupBy("doc_id").agg(F.collect_list("s").alias("arr"))
-    arr_a = F.broadcast(
-        doc_arrays.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a"))
-    )
-    arr_b = F.broadcast(
-        doc_arrays.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b"))
-    )
-    sa = F.broadcast(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")))
-    sb = F.broadcast(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")))
+    # "merge" (SHUFFLE_MERGE) pins the non-broadcast path to SortMergeJoin even
+    # when the optimizer would auto-broadcast a small test corpus — the plan
+    # under audit is the plan that runs at scale.
+    wrap = F.broadcast if use_broadcast else (lambda df: df.hint("merge"))
+    arr_a = wrap(doc_arrays.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a")))
+    arr_b = wrap(doc_arrays.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b")))
     jac = F.col("common") * 1.0 / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
     return (
         cand.join(arr_a, "doc_a")
         .join(arr_b, "doc_b")
         .withColumn("common", F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b"))))
+        .withColumn("sz_a", F.size(F.col("arr_a")))
+        .withColumn("sz_b", F.size(F.col("arr_b")))
         .drop("arr_a", "arr_b")
-        .join(sa, "doc_a")
-        .join(sb, "doc_b")
         .filter(jac >= tau)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )

@@ -96,6 +96,28 @@ def similarity_bruteforce_topk(spark, sf_dir):
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(10)
 
 
+def _lsh_bucket(v, n_planes: int = 4):
+    """Hyperplane-LSH bucket id (deterministic pseudo-random planes
+    h_p[j] = sin(97p + j), identically computable in DuckDB SQL)."""
+    bucket = None
+    for p in range(n_planes):
+        plane = F.transform(F.sequence(F.lit(0), F.lit(DIM - 1)), lambda j: F.sin(p * 97 + j))
+        bit = F.when(_dot(v, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("long")
+
+
+_LSH_BUCKET_SQL = (
+    "("
+    + " + ".join(
+        f"(CASE WHEN list_sum(list_transform(range(1, {DIM} + 1), "
+        f"i -> ({{e}}[i]::DOUBLE) * sin({p} * 97 + i - 1))) >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(4)
+    )
+    + ")::BIGINT"
+)
+
+
 @register(
     "zz_similarity_lsh_hyperplane_buckets",
     oracle=f"""
@@ -115,13 +137,7 @@ def similarity_lsh_hyperplane_buckets(spark, sf_dir):
     computable in any engine — the scale path for ANN: candidate search joins
     within a bucket instead of all-pairs."""
     e = t(spark, sf_dir, "embeddings")
-    v = _vec()
-    bucket = None
-    for p in range(4):
-        plane = F.transform(F.sequence(F.lit(0), F.lit(DIM - 1)), lambda j: F.sin(p * 97 + j))
-        bit = F.when(_dot(v, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return e.select(bucket.cast("long").alias("bucket")).groupBy("bucket").agg(
+    return e.select(_lsh_bucket(_vec()).alias("bucket")).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n")
     )
 
@@ -214,6 +230,56 @@ def similarity_near_dup_pairs(spark, sf_dir):
     a = e.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "label")
     b = e.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "label")
     pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(
+        _dot(_vec("ea"), _vec("eb")) / (_norm(_vec("ea")) * _norm(_vec("eb"))), 6
+    )
+    return pairs.select("vec_a", "vec_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= 0.3
+    )
+
+
+@register(
+    "zz_similarity_lsh_blocked_near_dup",
+    oracle=f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_LSH_BUCKET_SQL.format(e='embedding')} AS bucket
+  FROM embeddings
+)
+SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+       round({_DOT_SQL.format(dim=DIM, a='x.embedding', b='y.embedding')}
+             / ({_NORM_SQL.format(dim=DIM, a='x.embedding', b='x.embedding')}
+                * {_NORM_SQL.format(dim=DIM, a='y.embedding', b='y.embedding')}), 6) AS cosine
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+WHERE {_DOT_SQL.format(dim=DIM, a='x.embedding', b='y.embedding')}
+      / ({_NORM_SQL.format(dim=DIM, a='x.embedding', b='x.embedding')}
+         * {_NORM_SQL.format(dim=DIM, a='y.embedding', b='y.embedding')}) >= 0.2999995
+""",
+    tags=("vector", "dedup", "lsh", "cosine"),
+)
+def similarity_lsh_blocked_near_dup(spark, sf_dir):
+    """LSH-blocked near-duplicate pairs: block by the 4-plane hyperplane-LSH
+    bucket FIRST, then exact cosine ≥ 0.3 within each bucket — the composition
+    of `zz_similarity_lsh_hyperplane_buckets` and `similarity_near_dup_pairs`
+    that replaces data-dependent label blocking with hash blocking whose cell
+    sizes the pipeline controls (more planes → smaller cells).
+
+    Recall contract (exactly as in production embedding dedup): LSH blocking
+    is a CANDIDATE filter — a true near-dup pair hashed into different buckets
+    is missed, so recall < 1 vs the label-blocked truth; every returned pair
+    is exactly verified (precision 1 within the blocking). The DuckDB oracle
+    computes the identical deterministic buckets, proving the Spark blocking +
+    verify end-to-end. At 100 TB this is the plan: the quadratic term is
+    bounded per bucket, the join is a plain equi-join on the bucket key, and
+    skewed buckets split by adding planes (or salting the bucket id)."""
+    e = t(spark, sf_dir, "embeddings")
+    withb = e.select("vec_id", "embedding", _lsh_bucket(_vec()).alias("bucket"))
+    x = withb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"), "bucket"
+    )
+    y = withb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"), "bucket"
+    )
+    pairs = x.join(y, "bucket").filter(F.col("vec_a") < F.col("vec_b"))
     cos = F.round(
         _dot(_vec("ea"), _vec("eb")) / (_norm(_vec("ea")) * _norm(_vec("eb"))), 6
     )

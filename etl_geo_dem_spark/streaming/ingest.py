@@ -39,9 +39,17 @@ def start_cdc_ingest(
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
     dedup_watermark: str | None = None,
+    stream_id: str | None = None,
 ):
     """Tail ``source_dir`` for change-event parquet files and MERGE each
     micro-batch into ``table``. Returns the StreamingQuery.
+
+    ``stream_id`` identifies this stream in the table's per-stream exactly-once
+    watermark map; it defaults to the (normalized) checkpoint path — the same
+    identity Spark's offset WAL keys batch ids on, so a restart from the same
+    checkpoint resumes the same watermark while a FRESH checkpoint (whose batch
+    ids restart at 0) gets a fresh watermark instead of being silently
+    swallowed by another source's progress.
 
     ``dedup_watermark`` (e.g. ``"30 minutes"``) enables a stateful
     exact-duplicate pre-filter — ``dropDuplicatesWithinWatermark`` on the full
@@ -52,6 +60,9 @@ def start_cdc_ingest(
     so final state is identical either way; what changes is shuffle volume.
     State is bounded by the watermark horizon, exactly like the reference's
     bounded out-of-orderness assumption (tombstone horizon)."""
+    import os
+
+    sid = stream_id or os.path.realpath(checkpoint_dir)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
@@ -62,7 +73,7 @@ def start_cdc_ingest(
         )
 
     def sink(batch_df, batch_id: int):
-        apply_changes(table, batch_df, epoch_id=batch_id, cfg=cfg)
+        apply_changes(table, batch_df, epoch_id=batch_id, cfg=cfg, stream_id=sid)
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

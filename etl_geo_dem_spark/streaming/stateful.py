@@ -22,7 +22,13 @@ STATE_SCHEMA = "seen_turns array<int>, max_lsn long"
 # exact distinct-turn tracking saturates here; transcripts are bounded in
 # practice (a conversation has thousands of turns at most), so the cap is a
 # state-size guard, not an expected path. Past the cap, turns_seen stays at
-# the cap (monotone, never overcounts).
+# the cap (monotone, never overcounts): the stored set is truncated AFTER
+# merging each batch — never left to overshoot and never frozen below the cap
+# while new distinct turns still arrive.
+# NOTE (checkpoint compatibility): STATE_SCHEMA changed in round 2 from
+# (long, long) to (array<int>, long); the streaming state store encodes the
+# state schema, so checkpoints written by the old layout CANNOT be restored —
+# discard the checkpoint dir (replaying the source reconstructs the state).
 MAX_TRACKED_TURNS = 65536
 
 
@@ -33,11 +39,14 @@ def _update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     batch_rows = 0
     for pdf in pdfs:
         batch_rows += len(pdf)
-        if len(seen) < MAX_TRACKED_TURNS:
-            seen.update(int(x) for x in pdf["turn_idx"].unique())
+        seen.update(int(x) for x in pdf["turn_idx"].unique())
         m = int(pdf["lsn"].max())
         if m > max_lsn:
             max_lsn = m
+    if len(seen) > MAX_TRACKED_TURNS:
+        # deterministic truncation (keep the smallest turn indices) so restarts
+        # and retried micro-batches converge to identical state
+        seen = set(sorted(seen)[:MAX_TRACKED_TURNS])
     # exact distinct count: turn_idx values re-seen across micro-batches are
     # counted once (the seen-set lives in the state store with the key).
     state.update((sorted(seen), max_lsn))

@@ -60,16 +60,30 @@ def main():
 
     t_lo = lo["replay"]["events_per_sec"]
     t_hi = hi["replay"]["events_per_sec"]
-    eff = (t_hi / t_lo) / 4
+    # two estimators, reported side by side (BENCH/BASELINE.md §4): best-of-k
+    # (the steady-state JIT-warm throughput a long-running job reaches) and the
+    # median (robust to a lucky run). The gate should clear on BOTH.
+    med_lo = lo["replay"]["median_events_per_sec"]
+    med_hi = hi["replay"]["median_events_per_sec"]
     result = {
         "cores_per_worker": cores,
         "n_events": n_events,
         "epochs": epochs,
         "repeats": repeats,
-        "N_jvm1": {"events_per_sec": t_lo, "runs": lo["replay"]["runs_events_per_sec"]},
-        "x4N_jvm4": {"events_per_sec": t_hi, "runs": hi["replay"]["runs_events_per_sec"]},
-        "speedup": round(t_hi / t_lo, 3),
-        "efficiency_N_to_4N": round(eff, 3),
+        "N_jvm1": {
+            "events_per_sec": t_lo,
+            "median_events_per_sec": med_lo,
+            "runs": lo["replay"]["runs_events_per_sec"],
+        },
+        "x4N_jvm4": {
+            "events_per_sec": t_hi,
+            "median_events_per_sec": med_hi,
+            "runs": hi["replay"]["runs_events_per_sec"],
+        },
+        "speedup_best": round(t_hi / t_lo, 3),
+        "speedup_median": round(med_hi / med_lo, 3),
+        "efficiency_N_to_4N_best": round((t_hi / t_lo) / 4, 3),
+        "efficiency_N_to_4N_median": round((med_hi / med_lo) / 4, 3),
         "generated": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     print(json.dumps(result), flush=True)

@@ -44,7 +44,12 @@ def run_once(spark, src: str, n_events: int, mfpt: int) -> dict:
             "stream_sec": round(wall, 3),
             "events_per_sec": round(n_events / wall, 1),
             "final_rows": table.read_public().count(),
-            "epochs_committed": table.last_epoch() + 1,
+            # stream commits advance the per-stream watermark, not the global
+            # batch epoch — count micro-batches from the stream's own watermark
+            "epochs_committed": max(
+                table.snapshot().get("stream_watermarks", {}).values(), default=-1
+            )
+            + 1,
         }
     finally:
         shutil.rmtree(wh, ignore_errors=True)

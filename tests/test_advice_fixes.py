@@ -74,10 +74,10 @@ def test_manifest_source_path_written_atomically(spark, warehouse, tmp_path):
     writes: list[int] = []
     orig = table.write_epoch_manifest
 
-    def counting(epoch_id, manifest):
+    def counting(epoch_id, manifest, stream_id=None):
         writes.append(epoch_id)
         assert "source_path" in manifest, "source_path missing from first manifest write"
-        return orig(epoch_id, manifest)
+        return orig(epoch_id, manifest, stream_id=stream_id)
 
     table.write_epoch_manifest = counting
     out = ingest_manifest(spark, table, str(mf), CHANGE_SCHEMA)
