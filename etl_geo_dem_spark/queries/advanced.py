@@ -79,7 +79,8 @@ def graph_connected_components(spark, sf_dir):
 
     The loop is driver-controlled but every iteration is a distributed join;
     iteration count is O(graph diameter). At 100 TB you'd switch to the
-    large-star/small-star algorithm (same loop shape, fewer rounds)."""
+    large-star/small-star algorithm (same loop shape, O(log²) rounds) —
+    implemented as `zz_graph_cc_two_phase` and oracle-proven identical."""
     ev = t(spark, sf_dir, "events")
     edges = _cooccurrence_edges(ev)
     sym = edges.unionByName(
@@ -120,6 +121,104 @@ def graph_connected_components(spark, sf_dir):
         labels = new_labels
         if changed == 0:
             break
+    return labels.groupBy(F.col("label").alias("component")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+
+
+def _star_round(sym, large: bool):
+    """One star operation over a SYMMETRIC edge list (u, v).
+
+    m(u) = min(u ∪ N(u)). large-star hangs every strictly-larger neighbor
+    under m(u); small-star hangs every ≤-neighbor and u itself under m(u).
+    Both preserve connectivity and strictly reduce tree height (Kiveris et
+    al., "Connected Components in MapReduce and Beyond" — public algorithm)."""
+    m = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mv"))
+        .select("u", F.least(F.col("u"), F.col("mv")).alias("m"))
+    )
+    joined = sym.join(m, "u")
+    if large:
+        out = joined.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        )
+    else:
+        out = (
+            joined.filter(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .unionByName(m.select(F.col("u").alias("a"), F.col("m").alias("b")))
+        )
+    return out.filter(F.col("a") != F.col("b")).distinct()
+
+
+@register(
+    "zz_graph_cc_two_phase",
+    oracle="""
+WITH RECURSIVE
+edges AS (
+  SELECT DISTINCT a.user_id AS ua, b.user_id AS ub
+  FROM events a JOIN events b
+    ON a.user_id < b.user_id
+   AND b.ts BETWEEN a.ts - INTERVAL 5 SECOND AND a.ts + INTERVAL 5 SECOND
+),
+sym AS (
+  SELECT ua, ub FROM edges UNION SELECT ub, ua FROM edges
+),
+walk(node, label) AS (
+  SELECT DISTINCT user_id, user_id FROM events
+  UNION
+  SELECT s.ub, w.label FROM walk w JOIN sym s ON s.ua = w.node
+)
+SELECT component, count(*) AS n_members
+FROM (SELECT node, min(label) AS component FROM walk GROUP BY node)
+GROUP BY component
+""",
+    tags=("graph", "J6", "iterative", "twophase"),
+)
+def graph_cc_two_phase(spark, sf_dir):
+    """Connected components by alternating LARGE-STAR / SMALL-STAR rounds —
+    the 100 TB upgrade of `graph_connected_components`: convergence in
+    O(log² n) rounds independent of graph DIAMETER (min-label propagation
+    needs O(diameter) rounds — a 10^6-hop chain means 10^6 shuffles; this
+    needs ~40), every round two map-side-combining groupBys + an equi join.
+    The DuckDB recursive-CTE oracle proves both variants produce identical
+    component minima and sizes.
+
+    Convergence detection is O(1) metadata per round: (edge count, sum of
+    per-edge hashes) — an unchanged star forest is the fixpoint, at which
+    every non-root points DIRECTLY at its component's minimum node."""
+    ev = t(spark, sf_dir, "events")
+    edges = _cooccurrence_edges(ev)
+    cur = edges.select(F.col("ua").alias("a"), F.col("ub").alias("b")).localCheckpoint(
+        eager=True
+    )
+    sig_prev = None
+    for _ in range(20):  # O(log² n) bound; small graphs converge in ~3
+        sym = cur.unionByName(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct().select(F.col("a").alias("u"), F.col("b").alias("v"))
+        after_large = _star_round(sym, large=True)
+        sym2 = after_large.unionByName(
+            after_large.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct().select(F.col("a").alias("u"), F.col("b").alias("v"))
+        cur = _star_round(sym2, large=False).localCheckpoint(eager=True)
+        sig = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal accumulator: a long sum of 64-bit hashes overflows under
+            # ANSI arithmetic; decimal(38,0) holds ~1e19 hashes loss-free
+            F.sum(F.xxhash64(F.col("a"), F.col("b")).cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        sig = (sig["n"], sig["h"])
+        if sig == sig_prev:
+            break
+        sig_prev = sig
+    # at the fixpoint cur is a star forest: (node → component min). Roots and
+    # isolated nodes never appear on the a-side — they label themselves.
+    nodes = ev.select(F.col("user_id").alias("node")).distinct()
+    labels = nodes.join(
+        cur.select(F.col("a").alias("node"), F.col("b").alias("label")), "node", "left"
+    ).select("node", F.coalesce("label", "node").alias("label"))
     return labels.groupBy(F.col("label").alias("component")).agg(
         F.count(F.lit(1)).alias("n_members")
     )

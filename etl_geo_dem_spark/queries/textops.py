@@ -279,7 +279,7 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
         .select("doc_a", "doc_b")
         .distinct()
     )
-    return _ngram_verify_pairs(cand, sh, tau, use_broadcast)
+    return _ngram_verify_pairs(cand, sh, sizes, tau, use_broadcast)
 
 
 # Broadcast the per-doc shingle-array map only below this corpus size; above
@@ -289,11 +289,18 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
 _BROADCAST_VERIFY_MAX_DOCS = 200_000
 
 
-def _ngram_verify_pairs(cand, sh, tau, use_broadcast: bool):
+def _ngram_verify_pairs(cand, sh, sizes, tau, use_broadcast: bool):
     """Exact Jaccard verification of candidate (doc_a, doc_b) pairs: join each
-    side to its distinct-shingle array, common = |array_intersect|, sizes come
-    from the arrays themselves (postings are distinct per doc, so |arr| == the
-    doc's shingle-set size — no separate sizes join needed)."""
+    side to its distinct-shingle array, common = |array_intersect|, then join
+    the per-doc sizes and filter.
+
+    Plan-shape note (measured, not theoretical): the sizes JOINS above the
+    common-projection are load-bearing — they are a predicate-pushdown barrier.
+    With sizes computed as F.size(arr) in the same projection, Catalyst
+    substitutes the jaccard filter into the array join's condition and
+    ``array_intersect`` evaluates THREE times per candidate row (~10 s at
+    sf0.1); with the filter referencing the join's output columns it evaluates
+    once (~6.5 s)."""
     doc_arrays = sh.groupBy("doc_id").agg(F.collect_list("s").alias("arr"))
     # "merge" (SHUFFLE_MERGE) pins the non-broadcast path to SortMergeJoin even
     # when the optimizer would auto-broadcast a small test corpus — the plan
@@ -301,14 +308,16 @@ def _ngram_verify_pairs(cand, sh, tau, use_broadcast: bool):
     wrap = F.broadcast if use_broadcast else (lambda df: df.hint("merge"))
     arr_a = wrap(doc_arrays.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a")))
     arr_b = wrap(doc_arrays.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b")))
+    sa = wrap(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")))
+    sb = wrap(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")))
     jac = F.col("common") * 1.0 / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
     return (
         cand.join(arr_a, "doc_a")
         .join(arr_b, "doc_b")
         .withColumn("common", F.size(F.array_intersect(F.col("arr_a"), F.col("arr_b"))))
-        .withColumn("sz_a", F.size(F.col("arr_a")))
-        .withColumn("sz_b", F.size(F.col("arr_b")))
         .drop("arr_a", "arr_b")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jac >= tau)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
