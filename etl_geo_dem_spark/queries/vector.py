@@ -208,6 +208,28 @@ def similarity_ann_ivf_probe(spark, sf_dir):
 
 
 @register(
+    "zz_similarity_ivf_kmeans_probe",
+    oracle=None,  # iterative (2 Lloyd rounds) — not SQL-expressible; the exact
+    # dual-implementation oracle is the NumPy replay in tests/test_ivf.py,
+    # the same strategy as the CDC replayer oracle (documented rows-only row)
+    tags=("vector", "ann", "ivf", "kmeans", "iterative"),
+)
+def similarity_ivf_kmeans_probe(spark, sf_dir):
+    """True IVF ANN: deterministic k-means(8, 2 Lloyd iterations) coarse
+    quantizer over the embeddings, then a 2-probe exact-cosine top-5 for query
+    vec_id=7 — the trained-quantizer upgrade of `similarity_ann_ivf_probe`
+    (which reuses labels as cells). Per iteration: broadcast k·dim doubles,
+    one map-side argmin pass, one (cluster,dim) map-side-combining mean — the
+    corpus itself never shuffles. Driver check is rows-only; the exact oracle
+    is an independent NumPy implementation asserted equal in pytest."""
+    from etl_geo_dem_spark.operators.ivf import ivf_topk, kmeans_fit
+
+    e = t(spark, sf_dir, "embeddings")
+    centroids = kmeans_fit(e, k=8, iters=2)
+    return ivf_topk(e, centroids, query_id=7, topk=5, nprobe=2)
+
+
+@register(
     "similarity_near_dup_pairs",
     oracle=f"""
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
