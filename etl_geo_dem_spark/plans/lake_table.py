@@ -147,6 +147,20 @@ class LakeTable:
                 out.append(json.load(f))
         return [s for s in out if s["version"] <= self.current_version()]
 
+    def version_as_of(self, timestamp_ms: int) -> int:
+        """Snapshot version that was current at ``timestamp_ms`` (Iceberg/Delta
+        ``TIMESTAMP AS OF`` analog): the newest snapshot created at or before
+        the instant. Raises if the table didn't exist yet."""
+        best = None
+        for s in self.history():
+            if s["created_ms"] <= timestamp_ms:
+                best = s["version"]
+        if best is None:
+            raise ValueError(
+                f"no snapshot at or before {timestamp_ms} (table created later)"
+            )
+        return best
+
     def schema(self, version: int | None = None) -> T.StructType:
         return T.StructType.fromJson(self.snapshot(version)["schema"])
 

@@ -355,6 +355,29 @@ def test_table_changes_spans_schema_evolution(spark, warehouse):
     }
 
 
+def test_time_travel_as_of_timestamp(spark, warehouse):
+    """TIMESTAMP AS OF: version_as_of resolves the newest snapshot at or
+    before an instant; reading it reproduces that state exactly."""
+    import time as _time
+
+    table = _mk_table(spark, warehouse)
+    ch = generate_changes(spark, 600, n_conv=20, n_epochs=2)
+    from etl_geo_dem_spark.sources.changes import epoch_batches
+
+    batches = dict(epoch_batches(ch))
+    apply_changes(table, batches[0], 0)
+    v1 = table.current_version()
+    t_between = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    apply_changes(table, batches[1], 1)
+    assert table.version_as_of(t_between) == v1
+    assert table.version_as_of(int(_time.time() * 1000)) == table.current_version()
+    asof = table.read_public(version=table.version_as_of(t_between))
+    assert asof.count() == table.read_public(version=v1).count()
+    with pytest.raises(ValueError):
+        table.version_as_of(0)  # before table creation
+
+
 def test_metadata_tables(spark, warehouse):
     table = _mk_table(spark, warehouse)
     ch = generate_changes(spark, 600, n_conv=20, n_epochs=2)
