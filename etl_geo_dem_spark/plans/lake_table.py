@@ -63,6 +63,96 @@ class CommitConflict(Exception):
     """Another writer committed this version first (optimistic concurrency)."""
 
 
+def _stat_to_json(v):
+    """Parquet footer min/max → a JSON-storable, order-preserving scalar.
+
+    Strings arrive as utf-8 bytes (kept as text — utf-8 byte order ≠ code-point
+    order only beyond the BMP, and parquet's own truncation rules already make
+    string bounds conservative); timestamps become epoch microseconds (the same
+    conversion :func:`_prune_value` applies to query-side datetimes, so
+    comparisons are tz-stable). Anything exotic → None (stats dropped for that
+    column, file kept on every prune — conservative)."""
+    import datetime
+
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    if isinstance(v, bool) or not isinstance(v, (int, float, str)):
+        return None
+    return v
+
+
+def _prune_value(v):
+    """Query-side literal → the same comparison domain as :func:`_stat_to_json`."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=datetime.timezone.utc)
+        return int(v.timestamp() * 1_000_000)
+    return v
+
+
+def _file_column_stats(pq_meta, cols: list[str]) -> dict[str, dict[str, Any]]:
+    """Per-file min/max over all row groups for ``cols``, from an already-open
+    parquet FileMetaData (no extra I/O beyond the footer read the row-count
+    needs). A column whose stats are absent in ANY row group is omitted."""
+    name_to_idx = {pq_meta.schema.column(i).path: i for i in range(pq_meta.num_columns)}
+    out: dict[str, dict[str, Any]] = {}
+    for col in cols:
+        idx = name_to_idx.get(col)
+        if idx is None:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(pq_meta.num_row_groups):
+            st = pq_meta.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = _stat_to_json(st.min), _stat_to_json(st.max)
+            if mn is None or mx is None:
+                ok = False
+                break
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        if ok and lo is not None:
+            out[col] = {"min": lo, "max": hi}
+    return out
+
+
+def prune_files(
+    files: list[dict[str, Any]], stats_filters: dict[str, tuple[Any, Any]]
+) -> list[dict[str, Any]]:
+    """Manifest-level file skipping: keep only files whose recorded min/max
+    interval overlaps every ``{col: (lo, hi)}`` filter (``None`` = unbounded).
+    Files without stats for a filtered column are kept — pruning is always
+    conservative, never a correctness decision."""
+    out = []
+    for f in files:
+        stats = f.get("stats") or {}
+        keep = True
+        for col, (lo, hi) in stats_filters.items():
+            s = stats.get(col)
+            if s is None:
+                continue
+            if lo is not None and s["max"] < _prune_value(lo):
+                keep = False
+                break
+            if hi is not None and s["min"] > _prune_value(hi):
+                keep = False
+                break
+        if keep:
+            out.append(f)
+    return out
+
+
 class LakeTable:
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -195,12 +285,26 @@ class LakeTable:
         buckets: list[int] | None = None,
         include_deleted: bool = False,
         resolve: bool = True,
+        stats_filters: dict[str, tuple[Any, Any]] | None = None,
     ) -> DataFrame:
         """Read the table (optionally one snapshot version / a bucket subset).
 
         Bucket pruning is metadata-only: the snapshot lists files per bucket, so a
         read of k touched buckets opens exactly those files — no scan of the rest
         (the engine's analog of Iceberg partition pruning).
+
+        ``stats_filters`` (``{col: (lo, hi)}``, ``None`` = unbounded) adds
+        manifest-level FILE skipping on the per-file min/max stats recorded at
+        write time, and the equivalent row-level filter is applied to the
+        result, so the contract is exact: rows satisfying the interval, with
+        correct LWW winners. Filters on key columns are always safe (every
+        version of a key carries the key, so no surviving key loses a version
+        to pruning). Filters on non-key columns (e.g. ``ts``) are only sound
+        when every surviving key has exactly one stored version — i.e. no
+        delta files among the candidates — because an out-of-range stale
+        version could otherwise be crowned winner; that case raises rather
+        than silently mis-resolving (compact first, or filter after a full
+        read).
 
         Merge-on-read resolution: when the snapshot contains DELTA files
         (merge_mode="mor" commits), the current row of a key is the LWW winner
@@ -214,6 +318,18 @@ class LakeTable:
         if buckets is not None:
             wanted = set(buckets)
             files = [f for f in files if f["bucket"] in wanted]
+        if stats_filters:
+            key_cols = set(snap.get("key_cols", ["conv_id", "turn_idx"]))
+            nonkey = [c for c in stats_filters if c not in key_cols]
+            if nonkey and resolve and any(
+                f.get("kind", "base") == "delta" for f in files
+            ):
+                raise ValueError(
+                    f"stats_filters on non-key columns {nonkey} are unsound while "
+                    "delta files are pending (a pruned file could hold the LWW "
+                    "winner) — compact() first or filter a full read"
+                )
+            files = prune_files(files, stats_filters)
         if not files:
             df = self.spark.createDataFrame([], schema)
         elif not (resolve and any(f.get("kind", "base") == "delta" for f in files)):
@@ -244,6 +360,15 @@ class LakeTable:
                     *[f["path"] for f in cold]
                 ).unionByName(resolved)
             df = resolved
+        if stats_filters:
+            # the row-level counterpart of the file skip: pruning bounds which
+            # files open; this bounds which rows return (and pushes down to the
+            # parquet scan as an ordinary predicate on the kept files).
+            for c, (lo, hi) in stats_filters.items():
+                if lo is not None:
+                    df = df.filter(F.col(c) >= F.lit(lo))
+                if hi is not None:
+                    df = df.filter(F.col(c) <= F.lit(hi))
         if not include_deleted and "_deleted" in df.columns:
             df = df.filter(~F.col("_deleted"))
         return df
@@ -261,13 +386,24 @@ class LakeTable:
     TARGET_FILE_ROWS = 5_000_000
 
     def write_data_files(
-        self, df: DataFrame, kind: str = "base", max_records_per_file: int | None = None
+        self,
+        df: DataFrame,
+        kind: str = "base",
+        max_records_per_file: int | None = None,
+        n_buckets: int | None = None,
     ) -> list[dict[str, Any]]:
         """Write ``df`` (must carry ``_bucket``) into a fresh commit dir.
 
-        Returns file descriptors with per-file row/byte counts taken from parquet
-        footers (no extra Spark job) — these feed the snapshot and the per-bucket
-        lineage metrics (BASELINE requirement).
+        Returns file descriptors with per-file row/byte counts AND per-file
+        min/max column statistics for the key and order columns, all taken from
+        parquet footers (no extra Spark job) — these feed the snapshot, the
+        per-bucket lineage metrics (BASELINE requirement), and manifest-level
+        file skipping (:meth:`read` ``stats_filters`` / :meth:`point_lookup`),
+        the Iceberg manifest-stats analog: at 100 TB a point lookup prunes to
+        one file per bucket from METADATA alone, before any footer is opened.
+
+        ``n_buckets`` overrides the snapshot's bucket count for the write —
+        used only by :meth:`rebucket` (bucket-count evolution).
 
         Rows are sorted by (bucket, key, order) within each write task: the
         FileFormatWriter needs a sort on the partition column anyway when the
@@ -293,8 +429,9 @@ class LakeTable:
         # ≤1 file per bucket per commit unless a bucket exceeds the per-file
         # row cap, in which case the writer rolls additional files (all still
         # key-sorted; every invariant downstream is per-bucket, not per-file).
+        nb = self.n_buckets() if n_buckets is None else n_buckets
         (
-            df.repartition(4 * self.n_buckets(), F.col(BUCKET_COL))
+            df.repartition(4 * nb, F.col(BUCKET_COL))
             .sortWithinPartitions(*sort_cols)
             .write.partitionBy(BUCKET_COL)
             .option(
@@ -306,16 +443,26 @@ class LakeTable:
         )
         import pyarrow.parquet as pq
 
+        stats_cols = [
+            c
+            for c in (
+                snap.get("key_cols", ["conv_id", "turn_idx"])
+                + snap.get("order_cols", ["ts", "lsn"])
+            )
+            if c in df.columns
+        ]
         out = []
         for p in sorted(glob.glob(os.path.join(commit_dir, f"{BUCKET_COL}=*", "*.parquet"))):
             bucket = int(p.split(f"{BUCKET_COL}=")[1].split(os.sep)[0])
+            meta = pq.ParquetFile(p).metadata
             out.append(
                 {
                     "path": p,
                     "bucket": bucket,
                     "kind": kind,
-                    "rows": pq.ParquetFile(p).metadata.num_rows,
+                    "rows": meta.num_rows,
                     "bytes": os.path.getsize(p),
+                    "stats": _file_column_stats(meta, stats_cols),
                 }
             )
         return out
@@ -327,6 +474,7 @@ class LakeTable:
         schema: T.StructType | None = None,
         expected_parent: int | None = None,
         stream_watermarks: dict[str, int] | None = None,
+        n_buckets: int | None = None,
     ) -> int:
         """Commit a new snapshot; returns the new version number.
 
@@ -354,7 +502,7 @@ class LakeTable:
             "parent": prev["version"],
             "created_ms": int(time.time() * 1000),
             "schema": json.loads(schema.json()) if schema is not None else prev["schema"],
-            "n_buckets": prev["n_buckets"],
+            "n_buckets": prev["n_buckets"] if n_buckets is None else n_buckets,
             "key_col": prev.get("key_col", "conv_id"),
             "key_cols": prev.get("key_cols", ["conv_id", "turn_idx"]),
             "order_cols": prev.get("order_cols", ["ts", "lsn"]),
@@ -772,6 +920,121 @@ class LakeTable:
                     "buckets": sorted(wanted),
                 },
                 expected_parent=snap["version"],
+            )
+
+        return self._retrying_commit(attempt, retries)
+
+    # ------------------------------------------------- layout / history evolution
+    def bucket_of(self, key_value: Any, n_buckets: int | None = None) -> int:
+        """Storage bucket of one key value — the driver-side end of
+        :func:`bucket_expr`. Computed by the SAME Spark expression
+        (``pmod(xxhash64(...))``) over a one-row local relation, so there is no
+        second hash implementation to drift; the job is metadata-sized (one
+        task, one literal row — Catalyst folds it without touching the table)."""
+        n = self.n_buckets() if n_buckets is None else n_buckets
+        return int(
+            self.spark.range(1)
+            .select(F.pmod(F.xxhash64(F.lit(key_value)), F.lit(n)).cast("int"))
+            .first()[0]
+        )
+
+    def point_lookup(self, key_value: Any, version: int | None = None) -> DataFrame:
+        """Single-key lookup that prunes on EVERY metadata tier before a byte
+        of data is read: snapshot → one bucket (hash of the key) → within the
+        bucket, only files whose recorded [min, max] key range covers the value
+        (rolled files are key-sorted and disjoint, so typically exactly one),
+        and the residual equality predicate pushes into the parquet scan where
+        the key-sorted row groups prune again. The reference analog is the
+        indexed tile lookup (`pipeline_load_localPG.py:46-47` ``-I`` index);
+        the Iceberg analog is metadata-table + manifest-stats scan planning.
+
+        Correct under merge-on-read: key-column pruning keeps every version of
+        every matching key, so LWW resolution sees the full history."""
+        key = self.key_col()
+        b = self.bucket_of(key_value, int(self.snapshot(version)["n_buckets"]))
+        return self.read(
+            version=version,
+            buckets=[b],
+            stats_filters={key: (key_value, key_value)},
+        )
+
+    def rebucket(self, new_n_buckets: int, retries: int = 2) -> int:
+        """Bucket-count evolution: rewrite current live state under a new
+        ``n_buckets`` and commit it as the table's bucketing from now on.
+
+        A bucket count sized for the first TB is wrong at 100 TB (buckets are
+        the unit of copy-on-write, compaction and read parallelism — too few
+        means multi-GB rewrites per epoch, too many means small files), so the
+        count must be able to follow the table's growth. Iceberg models this
+        as partition-spec evolution with per-spec file groups; this engine
+        keeps exactly one spec per snapshot by folding the rewrite and the
+        spec change into a single atomic commit: every file in the new
+        snapshot is bucketed by the new count, every earlier snapshot keeps
+        the old count (time travel stays consistent — ``read(version=v)``
+        prunes with v's own ``n_buckets``), and writers that derived their
+        plan from the old layout fail the CAS and re-derive under the new one.
+
+        Returns the new snapshot version. Requires MOR deltas be folded
+        (``read`` resolves them here) — the rewrite is the compaction."""
+        if new_n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+
+        def attempt() -> int:
+            base_version = self.current_version()
+            df = self.read(version=base_version, include_deleted=True)
+            key = self.key_col()
+            files = self.write_data_files(
+                df.withColumn(BUCKET_COL, bucket_expr(key, new_n_buckets)),
+                n_buckets=new_n_buckets,
+            )
+            return self.commit(
+                files,
+                summary={
+                    "operation": "rebucket",
+                    "epoch_id": self.last_epoch(),
+                    "n_buckets_before": self.n_buckets(),
+                    "n_buckets_after": new_n_buckets,
+                },
+                expected_parent=base_version,
+                n_buckets=new_n_buckets,
+            )
+
+        return self._retrying_commit(attempt, retries)
+
+    def rollback(self, version: int, retries: int = 2) -> int:
+        """Roll the table back to an earlier snapshot by COMMITTING a new
+        snapshot that re-points at ``version``'s exact file list, schema,
+        bucket count, epoch watermark and per-stream watermarks (Iceberg
+        ``rollback_to_snapshot``: history moves forward, data moves back —
+        no file is copied or deleted, so the rolled-past versions remain
+        time-travelable until vacuum).
+
+        Watermarks revert ON PURPOSE: epochs committed after ``version`` are
+        no longer reflected in the table state, so the exactly-once skip must
+        let a replay re-apply them — resuming the stream converges the table
+        forward again instead of silently dropping the rolled-back range.
+
+        Fails if ``version``'s data files were already vacuumed."""
+        target = self.snapshot(version)
+        missing = [f["path"] for f in target["files"] if not os.path.exists(f["path"])]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot roll back to v{version}: {len(missing)} data file(s) "
+                f"already vacuumed (first: {missing[0]})"
+            )
+
+        def attempt() -> int:
+            return self.commit(
+                list(target["files"]),
+                summary={
+                    "operation": "rollback",
+                    "rolled_back_to": version,
+                    "epoch_id": target["summary"].get("epoch_id", -1),
+                },
+                schema=T.StructType.fromJson(target["schema"]),
+                expected_parent=self.current_version(),
+                stream_watermarks=dict(target.get("stream_watermarks", {})),
+                n_buckets=int(target["n_buckets"]),
             )
 
         return self._retrying_commit(attempt, retries)

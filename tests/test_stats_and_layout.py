@@ -1,0 +1,198 @@
+"""Manifest-level file statistics + skipping, bucket-count evolution, rollback.
+
+The stats path is the engine's Iceberg-manifest-stats analog: per-file min/max
+for the key and order columns recorded from parquet footers at commit time,
+consumed by LakeTable.read(stats_filters=...) / point_lookup() so a lookup
+prunes snapshot -> bucket -> file(s) on metadata alone. rebucket() is
+partition-spec evolution (the bucket count must follow table growth at 100 TB);
+rollback() is Iceberg rollback_to_snapshot (history forward, data back).
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_geo_dem_spark.config import EngineConfig
+from etl_geo_dem_spark.plans.lake_table import LakeTable, prune_files
+from etl_geo_dem_spark.plans.merge import apply_changes, replay
+from etl_geo_dem_spark.schemas import STATE_SCHEMA
+from etl_geo_dem_spark.sources.changes import generate_changes
+
+
+def _mk_table(spark, warehouse, name="t", n_buckets=4):
+    return LakeTable.create(
+        spark, os.path.join(warehouse, name), STATE_SCHEMA, n_buckets=n_buckets
+    )
+
+
+def _sorted_pd(df):
+    return df.orderBy("conv_id", "turn_idx").toPandas()
+
+
+# ------------------------------------------------------------------ file stats
+
+
+def test_file_stats_recorded_in_snapshot(spark, warehouse):
+    table = _mk_table(spark, warehouse)
+    ch = generate_changes(spark, 1200, n_conv=40, n_epochs=1)
+    replay(table, ch)
+    files = table.snapshot()["files"]
+    assert files
+    for f in files:
+        st = f["stats"]
+        # key + order columns all covered
+        for col in ("conv_id", "turn_idx", "ts", "lsn"):
+            assert col in st, f"missing stats for {col}: {st}"
+            assert st[col]["min"] <= st[col]["max"]
+        assert isinstance(st["conv_id"]["min"], str)
+        assert isinstance(st["ts"]["min"], int)  # epoch micros, not INT96
+
+
+def test_point_lookup_prunes_to_subset_of_bucket_files(spark, warehouse):
+    # one bucket, tiny per-file row cap -> the writer rolls many key-sorted,
+    # key-disjoint files; stats pruning must open only the file(s) covering
+    # the looked-up key.
+    table = _mk_table(spark, warehouse, n_buckets=1)
+    ch = generate_changes(spark, 1500, n_conv=50, n_epochs=1)
+    apply_changes(table, ch, 0, EngineConfig(target_file_rows=100))
+    files = table.snapshot()["files"]
+    assert len(files) > 3, "row cap should have rolled several files"
+
+    key = table.read_public().select("conv_id").first()[0]
+    pruned = prune_files(files, {"conv_id": (key, key)})
+    assert 0 < len(pruned) < len(files)
+
+    got = _sorted_pd(table.point_lookup(key).select("conv_id", "turn_idx", "text"))
+    want = _sorted_pd(
+        table.read_public()
+        .filter(F.col("conv_id") == key)
+        .select("conv_id", "turn_idx", "text")
+    )
+    assert got.equals(want)
+
+
+def test_point_lookup_correct_under_merge_on_read(spark, warehouse):
+    table = _mk_table(spark, warehouse)
+    ch = generate_changes(spark, 2000, n_conv=30, n_epochs=4, dup_pct=30)
+    replay(table, ch, EngineConfig(merge_mode="mor", max_deltas_per_bucket=0))
+    assert any(f.get("kind") == "delta" for f in table.snapshot()["files"])
+    key = table.read_public().select("conv_id").first()[0]
+    got = _sorted_pd(table.point_lookup(key))
+    want = _sorted_pd(table.read(include_deleted=False).filter(F.col("conv_id") == key))
+    assert got.equals(want)
+
+
+def test_ts_stats_filter_guarded_then_works_after_compact(spark, warehouse):
+    table = _mk_table(spark, warehouse)
+    ch = generate_changes(spark, 2000, n_conv=40, n_epochs=3)
+    replay(table, ch, EngineConfig(merge_mode="mor", max_deltas_per_bucket=0))
+
+    lo = table.read_public().agg(F.min("ts")).first()[0]
+    cnt = table.read_public().count()
+    hi = (  # median-ish ts so the range filter actually excludes rows
+        table.read_public().orderBy("ts").limit(cnt // 2).agg(F.max("ts")).first()[0]
+    )
+    with pytest.raises(ValueError, match="non-key columns"):
+        table.read(stats_filters={"ts": (lo, None)})
+
+    table.compact()
+    got = _sorted_pd(table.read(stats_filters={"ts": (None, hi)}).drop("_deleted"))
+    want = _sorted_pd(table.read().filter(F.col("ts") <= hi).drop("_deleted"))
+    assert got.equals(want)
+
+
+# -------------------------------------------------------------------- rebucket
+
+
+def test_rebucket_preserves_state_and_future_merges(spark, warehouse):
+    cha = generate_changes(spark, 2500, n_conv=60, n_epochs=3)
+    chb = generate_changes(spark, 2500, n_conv=60, n_epochs=5).filter(
+        F.col("epoch") >= 3
+    )
+
+    a = _mk_table(spark, warehouse, "evolved", n_buckets=4)
+    replay(a, cha)
+    before = _sorted_pd(a.read_public())
+    a.rebucket(16)
+    assert a.n_buckets() == 16
+    assert _sorted_pd(a.read_public()).equals(before)
+    assert {f["bucket"] for f in a.snapshot()["files"]} - set(range(16)) == set()
+    replay(a, chb)  # merges derive bucketing from the evolved snapshot
+
+    b = _mk_table(spark, warehouse, "control", n_buckets=4)
+    replay(b, cha)
+    replay(b, chb)
+    assert _sorted_pd(a.read_public()).equals(_sorted_pd(b.read_public()))
+
+    # point lookup still resolves through the evolved bucketing
+    key = a.read_public().select("conv_id").first()[0]
+    got = _sorted_pd(a.point_lookup(key).select("conv_id", "turn_idx", "text"))
+    want = _sorted_pd(
+        a.read_public().filter(F.col("conv_id") == key).select(
+            "conv_id", "turn_idx", "text"
+        )
+    )
+    assert got.equals(want)
+
+    # time travel before the rebucket still prunes with the OLD bucket count
+    pre = a.snapshot(a.current_version())
+    hist = [s for s in a.history() if s["summary"].get("operation") == "rebucket"]
+    v_before = hist[0]["parent"]
+    assert int(a.snapshot(v_before)["n_buckets"]) == 4
+    assert _sorted_pd(a.read_public(version=v_before)).equals(before)
+    assert pre  # silence unused
+
+
+# -------------------------------------------------------------------- rollback
+
+
+def test_rollback_restores_state_and_watermark_then_replay_converges(spark, warehouse):
+    table = _mk_table(spark, warehouse)
+    ch = generate_changes(spark, 3000, n_conv=50, n_epochs=5)
+    replay(table, ch)
+    final = _sorted_pd(table.read_public())
+    v_final = table.current_version()
+
+    # roll back to the snapshot that committed epoch 1
+    target = next(
+        s["version"] for s in table.history() if s["summary"].get("epoch_id") == 1
+    )
+    table.rollback(target)
+    assert table.last_epoch() == 1
+    assert _sorted_pd(table.read_public()).equals(
+        _sorted_pd(table.read_public(version=target))
+    )
+    # rolled-past snapshot remains time-travelable (no files deleted)
+    assert _sorted_pd(table.read_public(version=v_final)).equals(final)
+
+    # the reverted watermark lets replay re-apply epochs 2..4 and converge
+    replay(table, ch)
+    assert table.last_epoch() == 4
+    assert _sorted_pd(table.read_public()).equals(final)
+
+
+def test_rollback_after_rebucket_restores_bucket_count(spark, warehouse):
+    table = _mk_table(spark, warehouse, n_buckets=4)
+    ch = generate_changes(spark, 1000, n_conv=30, n_epochs=1)
+    replay(table, ch)
+    v_old = table.current_version()
+    table.rebucket(8)
+    assert table.n_buckets() == 8
+    table.rollback(v_old)
+    assert table.n_buckets() == 4
+    assert _sorted_pd(table.read_public()).equals(
+        _sorted_pd(table.read_public(version=v_old))
+    )
+
+
+def test_rollback_to_vacuumed_version_raises(spark, warehouse):
+    table = _mk_table(spark, warehouse)
+    ch = generate_changes(spark, 1000, n_conv=30, n_epochs=2)
+    replay(table, ch)
+    v1 = next(
+        s["version"] for s in table.history() if s["summary"].get("epoch_id") == 0
+    )
+    table.vacuum(keep_versions=1, orphan_grace_sec=0.0)
+    with pytest.raises(FileNotFoundError, match="vacuumed"):
+        table.rollback(v1)
