@@ -76,10 +76,47 @@ class SchemaEvolutionError(Exception):
     """Non-additive schema change in a change batch (type conflict / dropped col)."""
 
 
-def evolve_schema(state_schema: T.StructType, batch: DataFrame) -> tuple[T.StructType, list[str]]:
-    """Return (evolved state schema, new column names). Additive-only."""
+# lossless widening lattice (Iceberg's permitted type promotions): within the
+# integer chain, within the float chain, and small-int → double (exact up to
+# 2^53). long → double is NOT here — it silently loses precision.
+_INT_CHAIN = [T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType()]
+_FLOAT_CHAIN = [T.FloatType(), T.DoubleType()]
+
+
+def _widen(a: T.DataType, b: T.DataType) -> T.DataType | None:
+    """Smallest type both ``a`` and ``b`` convert to losslessly, else None."""
+    if a == b:
+        return a
+    if a in _INT_CHAIN and b in _INT_CHAIN:
+        return max(a, b, key=_INT_CHAIN.index)
+    if a in _FLOAT_CHAIN and b in _FLOAT_CHAIN:
+        return max(a, b, key=_FLOAT_CHAIN.index)
+    small_int = _INT_CHAIN[:-1]
+    if (a in small_int and b == T.DoubleType()) or (b in small_int and a == T.DoubleType()):
+        return T.DoubleType()
+    return None
+
+
+def evolve_schema(
+    state_schema: T.StructType, batch: DataFrame
+) -> tuple[T.StructType, list[str], list[str]]:
+    """Return (evolved state schema, new column names, widened column names).
+
+    Two evolution kinds are accepted, both metadata-only for existing files:
+
+    - ADDITIVE: a batch column the table lacks is appended (nullable); old
+      files null-fill it on read.
+    - WIDENING: a batch column arrives with a wider type on the lossless
+      lattice (int chain, float chain, small-int → double, as Iceberg's type
+      promotion rules) — the table type widens and the parquet reader upcasts
+      old narrow files on read, no rewrite. A NARROWER batch type upcasts the
+      batch instead (table schema unchanged).
+
+    Anything else (string ↔ numeric, dropped columns, long → double) raises.
+    """
     state_by_name = {f.name: f for f in state_schema.fields}
     new_fields: list[T.StructField] = []
+    widened: dict[str, T.DataType] = {}
     for f in batch.schema.fields:
         if f.name in ENVELOPE_COLS:
             continue
@@ -87,24 +124,39 @@ def evolve_schema(state_schema: T.StructType, batch: DataFrame) -> tuple[T.Struc
         if cur is None:
             new_fields.append(T.StructField(f.name, f.dataType, True))  # force nullable
         elif cur.dataType != f.dataType:
-            raise SchemaEvolutionError(
-                f"column {f.name!r}: table has {cur.dataType.simpleString()}, "
-                f"batch has {f.dataType.simpleString()} — only additive evolution is allowed"
-            )
-    if not new_fields:
-        return state_schema, []
-    evolved = T.StructType(list(state_schema.fields) + new_fields)
-    return evolved, [f.name for f in new_fields]
+            w = _widen(cur.dataType, f.dataType)
+            if w is None:
+                raise SchemaEvolutionError(
+                    f"column {f.name!r}: table has {cur.dataType.simpleString()}, "
+                    f"batch has {f.dataType.simpleString()} — not on the lossless "
+                    "widening lattice; only additive/widening evolution is allowed"
+                )
+            if w != cur.dataType:
+                widened[f.name] = w
+    if not new_fields and not widened:
+        return state_schema, [], []
+    evolved = T.StructType(
+        [
+            T.StructField(f.name, widened.get(f.name, f.dataType), f.nullable)
+            for f in state_schema.fields
+        ]
+        + new_fields
+    )
+    return evolved, [f.name for f in new_fields], sorted(widened)
 
 
 def _to_state_shape(winners: DataFrame, evolved: T.StructType) -> DataFrame:
-    """Project batch LWW winners into internal state shape (tombstone flag set)."""
+    """Project batch LWW winners into internal state shape (tombstone flag set).
+
+    Columns cast to the EVOLVED type: after a widening evolution the batch may
+    be the narrow side (old producer still emitting int32 into a widened-long
+    table) — the cast is a no-op when types already agree."""
     cols = []
     for f in evolved.fields:
         if f.name == "_deleted":
             cols.append((F.col("op") == "D").alias("_deleted"))
         elif f.name in winners.columns:
-            cols.append(F.col(f.name))
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return winners.select(*cols)
@@ -173,7 +225,7 @@ def _apply_changes_once(
     snap = table.snapshot()
     n_buckets = table.n_buckets()
     state_schema = table.schema()
-    evolved, new_cols = evolve_schema(state_schema, batch)
+    evolved, new_cols, widened_cols = evolve_schema(state_schema, batch)
     # merge keys/ordering come from the table's own metadata (persisted at
     # create() and carried forward by every commit) — module defaults only
     # apply to pre-metadata snapshots.
@@ -227,9 +279,11 @@ def _apply_changes_once(
             if c not in target.columns:
                 target = target.withColumn(c, F.lit(None).cast(dict(
                     (f.name, f.dataType) for f in evolved.fields)[c]))
-        target = target.select([f.name for f in evolved.fields]).withColumn(
-            BUCKET_COL, bucket_expr(table.key_col(), n_buckets)
-        )
+        # cast-select: on a widening evolution the stored state is the narrow
+        # side; cast is a no-op for unchanged columns.
+        target = target.select(
+            [F.col(f.name).cast(f.dataType).alias(f.name) for f in evolved.fields]
+        ).withColumn(BUCKET_COL, bucket_expr(table.key_col(), n_buckets))
         merged = lww_winners(
             target.unionByName(batch_state), key_cols, order_cols, strategy="agg"
         )
@@ -252,6 +306,8 @@ def _apply_changes_once(
             "touched_buckets": touched,
             "new_files": len(new_files),
             "schema_evolved": new_cols,
+        "schema_widened": widened_cols,
+            "schema_widened": widened_cols,
         },
         schema=evolved,
         expected_parent=snap["version"],
@@ -291,6 +347,7 @@ def _apply_changes_once(
         "touched_buckets": touched,
         "n_touched": len(touched),
         "schema_evolved": new_cols,
+        "schema_widened": widened_cols,
         "merge_mode": cfg.merge_mode,
         "compacted_buckets": compacted_buckets,
         "dedup_strategy": strategy,

@@ -196,3 +196,84 @@ def test_rollback_to_vacuumed_version_raises(spark, warehouse):
     table.vacuum(keep_versions=1, orphan_grace_sec=0.0)
     with pytest.raises(FileNotFoundError, match="vacuumed"):
         table.rollback(v1)
+
+
+# ------------------------------------------------- widening schema evolution
+
+
+def test_widening_evolution_int_to_long_and_float_to_double(spark, warehouse):
+    from pyspark.sql import types as T
+
+    table = _mk_table(spark, warehouse)
+    base = generate_changes(spark, 800, n_conv=20, n_epochs=3)
+    apply_changes(table, base.filter(F.col("epoch") == 0), 0)
+    before = _sorted_pd(table.read_public().select("conv_id", "turn_idx", "text"))
+
+    # epoch 1: turn_idx arrives as LONG (wider key type) + new float column
+    b1 = (
+        base.filter(F.col("epoch") == 1)
+        .withColumn("turn_idx", F.col("turn_idx").cast("long"))
+        .withColumn("score", F.col("lsn").cast("float"))
+    )
+    m1 = apply_changes(table, b1, 1)
+    assert m1["schema_widened"] == ["turn_idx"]
+    assert m1["schema_evolved"] == ["score"]
+    types = {f.name: f.dataType for f in table.schema().fields}
+    assert types["turn_idx"] == T.LongType()
+    assert types["score"] == T.FloatType()
+
+    # epoch 2: score arrives as DOUBLE (widen float->double), turn_idx back to
+    # the NARROW int (old producer) — batch upcasts, schema unchanged
+    b2 = (
+        base.filter(F.col("epoch") == 2)
+        .withColumn("score", (F.col("lsn") + 1).cast("double"))
+    )
+    m2 = apply_changes(table, b2, 2)
+    assert m2["schema_widened"] == ["score"]
+    types = {f.name: f.dataType for f in table.schema().fields}
+    assert types["score"] == T.DoubleType()
+    assert types["turn_idx"] == T.LongType()
+
+    # pre-evolution narrow files still read correctly through the wide schema
+    df = table.read_public()
+    assert dict(df.dtypes)["turn_idx"] == "bigint"
+    got_keys = _sorted_pd(
+        df.filter(F.col("score").isNull()).select(
+            "conv_id", F.col("turn_idx").cast("int").alias("turn_idx"), "text"
+        )
+    )
+    # every epoch-0 key not overwritten later must survive byte-identical
+    later = {
+        (r["conv_id"], r["turn_idx"])
+        for r in base.filter(F.col("epoch") >= 1).select("conv_id", "turn_idx").distinct().collect()
+    }
+    keep = before[
+        ~before.apply(lambda r: (r["conv_id"], r["turn_idx"]) in later, axis=1)
+    ].reset_index(drop=True)
+    surviving = got_keys[
+        ~got_keys.apply(lambda r: (r["conv_id"], r["turn_idx"]) in later, axis=1)
+    ].reset_index(drop=True)
+    assert surviving.equals(keep)
+
+
+def test_widening_rejects_lossy_promotion(spark):
+    from pyspark.sql import types as T
+
+    from etl_geo_dem_spark.plans.merge import SchemaEvolutionError, evolve_schema
+    from etl_geo_dem_spark.schemas import CHANGE_SCHEMA
+
+    class _D:
+        pass
+
+    # long -> double loses precision; string -> int is nonsense: both refused
+    for col, bad_t in [("lsn", T.DoubleType()), ("text", T.IntegerType())]:
+        bad = T.StructType(
+            [
+                f if f.name != col else T.StructField(col, bad_t)
+                for f in CHANGE_SCHEMA.fields
+            ]
+        )
+        d = _D()
+        d.schema = bad
+        with pytest.raises(SchemaEvolutionError):
+            evolve_schema(STATE_SCHEMA, d)
