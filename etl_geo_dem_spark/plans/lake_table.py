@@ -391,6 +391,7 @@ class LakeTable:
         kind: str = "base",
         max_records_per_file: int | None = None,
         n_buckets: int | None = None,
+        cluster_by: list[str] | None = None,
     ) -> list[dict[str, Any]]:
         """Write ``df`` (must carry ``_bucket``) into a fresh commit dir.
 
@@ -416,10 +417,25 @@ class LakeTable:
         """
         commit_dir = os.path.join(self.path, "data", uuid.uuid4().hex)
         snap = self.snapshot()
+        # cluster_by overrides the within-bucket sort (used by
+        # compact(cluster_by=...)): files then roll in cluster-column order, so
+        # their [min, max] ranges are disjoint in that column and the stats
+        # prune range reads on it — the engine's Z-order-lite. The key columns
+        # stay appended so point lookups keep tight row-group stats too.
+        lead = cluster_by if cluster_by else []
         sort_cols = (
             [BUCKET_COL]
-            + [c for c in snap.get("key_cols", ["conv_id", "turn_idx"]) if c in df.columns]
-            + [c for c in snap.get("order_cols", ["ts", "lsn"]) if c in df.columns]
+            + [c for c in lead if c in df.columns]
+            + [
+                c
+                for c in snap.get("key_cols", ["conv_id", "turn_idx"])
+                if c in df.columns and c not in lead
+            ]
+            + [
+                c
+                for c in snap.get("order_cols", ["ts", "lsn"])
+                if c in df.columns and c not in lead
+            ]
         )
         # hash-repartition on bucket id over 4× slots: with exactly n_buckets
         # slots, hash collisions leave ~37% of write tasks empty while others
@@ -443,14 +459,17 @@ class LakeTable:
         )
         import pyarrow.parquet as pq
 
-        stats_cols = [
-            c
-            for c in (
-                snap.get("key_cols", ["conv_id", "turn_idx"])
-                + snap.get("order_cols", ["ts", "lsn"])
+        stats_cols = list(
+            dict.fromkeys(
+                c
+                for c in (
+                    lead
+                    + snap.get("key_cols", ["conv_id", "turn_idx"])
+                    + snap.get("order_cols", ["ts", "lsn"])
+                )
+                if c in df.columns
             )
-            if c in df.columns
-        ]
+        )
         out = []
         for p in sorted(glob.glob(os.path.join(commit_dir, f"{BUCKET_COL}=*", "*.parquet"))):
             bucket = int(p.split(f"{BUCKET_COL}=")[1].split(os.sep)[0])
@@ -651,23 +670,36 @@ class LakeTable:
 
         return self._retrying_commit(attempt, retries)
 
-    def compact(self, retries: int = 2) -> int:
+    def compact(self, retries: int = 2, cluster_by: list[str] | None = None) -> int:
         """Rewrite current live state into one base file per bucket
         (rewrite_data_files analog; folds merge-on-read deltas). Returns the
-        new snapshot version. Retries on concurrent-commit conflicts."""
+        new snapshot version. Retries on concurrent-commit conflicts.
+
+        ``cluster_by`` re-sorts rows within each bucket by the given columns
+        before the per-file row cap rolls files — rolled files become DISJOINT
+        in those columns and their recorded min/max stats prune range reads on
+        them (``read(stats_filters={'ts': ...})``), the sort-order side of
+        Iceberg's ``rewrite_data_files`` strategy. The tradeoff is explicit:
+        clustering by a non-key column interleaves keys across rolled files,
+        so point-lookup FILE pruning coarsens to the whole bucket (row-group
+        pruning inside files still applies). Choose per table: ingest-heavy →
+        key order (default); time-range-serving → ``cluster_by=['ts']``."""
 
         def attempt() -> int:
             base_version = self.current_version()
             df = self.read(version=base_version, include_deleted=True)
             key = self.key_col()
             n = self.n_buckets()
-            files = self.write_data_files(df.withColumn(BUCKET_COL, bucket_expr(key, n)))
+            files = self.write_data_files(
+                df.withColumn(BUCKET_COL, bucket_expr(key, n)), cluster_by=cluster_by
+            )
             return self.commit(
                 files,
                 summary={
                     "operation": "compact",
                     "epoch_id": self.last_epoch(),
                     "files": len(files),
+                    "cluster_by": cluster_by,
                 },
                 expected_parent=base_version,
             )

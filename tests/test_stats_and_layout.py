@@ -277,3 +277,41 @@ def test_widening_rejects_lossy_promotion(spark):
         d.schema = bad
         with pytest.raises(SchemaEvolutionError):
             evolve_schema(STATE_SCHEMA, d)
+
+
+# --------------------------------------------------- clustered compaction
+
+
+def test_compact_cluster_by_ts_makes_range_pruning_effective(spark, warehouse):
+    table = _mk_table(spark, warehouse, n_buckets=1)
+    ch = generate_changes(spark, 3000, n_conv=80, n_epochs=2)
+    replay(table, ch)
+    # key-ordered files: ts ranges overlap, a ts filter prunes ~nothing
+    table.compact(cluster_by=None)
+
+    from etl_geo_dem_spark.plans.lake_table import LakeTable as LT
+
+    table2 = LT.load(spark, table.path)
+    # rewrite with a tight row cap so several files roll, clustered by ts
+    df = table.read(include_deleted=True)
+    from etl_geo_dem_spark.plans.lake_table import BUCKET_COL, bucket_expr
+
+    files = table.write_data_files(
+        df.withColumn(BUCKET_COL, bucket_expr(table.key_col(), 1)),
+        max_records_per_file=200,
+        cluster_by=["ts"],
+    )
+    table.commit(files, summary={"operation": "compact", "epoch_id": table.last_epoch(),
+                                 "cluster_by": ["ts"]})
+    assert len(files) > 3
+
+    # rolled files are ts-disjoint -> a half-range filter skips files
+    cnt = table.read_public().count()
+    hi = table.read_public().orderBy("ts").limit(cnt // 3).agg(F.max("ts")).first()[0]
+    pruned = prune_files(files, {"ts": (None, hi)})
+    assert 0 < len(pruned) < len(files)
+
+    got = _sorted_pd(table.read(stats_filters={"ts": (None, hi)}).drop("_deleted"))
+    want = _sorted_pd(table.read().filter(F.col("ts") <= hi).drop("_deleted"))
+    assert got.equals(want)
+    assert table2  # loaded handle stays readable across commits
