@@ -171,6 +171,10 @@ class LakeTable:
     def manifest_dir(self) -> str:
         return os.path.join(self.path, "_manifests")
 
+    @property
+    def _tags_dir(self) -> str:
+        return os.path.join(self.path, "_tags")
+
     def _snap_path(self, version: int) -> str:
         return os.path.join(self._snap_dir, f"v{version:08d}.json")
 
@@ -224,8 +228,12 @@ class LakeTable:
         with open(self._current_path) as f:
             return int(f.read().strip())
 
-    def snapshot(self, version: int | None = None) -> dict[str, Any]:
-        """Committed snapshot; ``version`` enables time travel."""
+    def snapshot(self, version: int | str | None = None) -> dict[str, Any]:
+        """Committed snapshot; ``version`` enables time travel — an int picks
+        that snapshot, a string resolves a TAG (every read-side API funnels
+        through here, so ``read(version='audited')`` etc. work uniformly)."""
+        if isinstance(version, str):
+            version = self.resolve_tag(version)
         v = self.current_version() if version is None else version
         with open(self._snap_path(v)) as f:
             return json.load(f)
@@ -251,7 +259,52 @@ class LakeTable:
             )
         return best
 
-    def schema(self, version: int | None = None) -> T.StructType:
+    # ---------------------------------------------------------------- tags
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin a human-named, immutable reference to a snapshot (Iceberg tag):
+        ``read(version='prod-2026-08')`` forever means this exact state, and
+        :meth:`vacuum` retains a tagged snapshot's files regardless of the
+        ``keep_versions`` window. Tags are create-once (O_EXCL — two racing
+        creators: one wins); re-pointing means delete + create. The
+        write-audit-publish loop this enables: commit → tag 'audit' →
+        validate the tagged state → publish (keep) or :meth:`rollback`."""
+        if not name or any(c in name for c in "/\\\0") or name.startswith("."):
+            raise ValueError(f"invalid tag name {name!r}")
+        v = self.current_version() if version is None else version
+        if not os.path.isfile(self._snap_path(v)):
+            raise FileNotFoundError(f"no snapshot v{v} to tag")
+        os.makedirs(self._tags_dir, exist_ok=True)
+        try:
+            with open(os.path.join(self._tags_dir, name + ".json"), "x") as f:
+                json.dump(
+                    {"name": name, "version": v, "created_ms": int(time.time() * 1000)},
+                    f,
+                )
+        except FileExistsError as e:
+            raise FileExistsError(f"tag {name!r} already exists") from e
+        return v
+
+    def delete_tag(self, name: str) -> None:
+        try:
+            os.remove(os.path.join(self._tags_dir, name + ".json"))
+        except FileNotFoundError as e:
+            raise KeyError(f"no tag {name!r}") from e
+
+    def tags(self) -> dict[str, int]:
+        out = {}
+        for p in sorted(glob.glob(os.path.join(self._tags_dir, "*.json"))):
+            with open(p) as f:
+                t = json.load(f)
+            out[t["name"]] = int(t["version"])
+        return out
+
+    def resolve_tag(self, name: str) -> int:
+        tags = self.tags()
+        if name not in tags:
+            raise KeyError(f"no tag {name!r} (have: {sorted(tags)})")
+        return tags[name]
+
+    def schema(self, version: int | str | None = None) -> T.StructType:
         return T.StructType.fromJson(self.snapshot(version)["schema"])
 
     def n_buckets(self) -> int:
@@ -281,7 +334,7 @@ class LakeTable:
     # ------------------------------------------------------------------ read
     def read(
         self,
-        version: int | None = None,
+        version: int | str | None = None,
         buckets: list[int] | None = None,
         include_deleted: bool = False,
         resolve: bool = True,
@@ -373,7 +426,7 @@ class LakeTable:
             df = df.filter(~F.col("_deleted"))
         return df
 
-    def read_public(self, version: int | None = None) -> DataFrame:
+    def read_public(self, version: int | str | None = None) -> DataFrame:
         """Live rows, internal columns (lsn, _deleted) dropped."""
         df = self.read(version=version)
         return df.drop("lsn", "_deleted")
@@ -602,7 +655,11 @@ class LakeTable:
         for s in self.history():
             for f in s["files"]:
                 ever_referenced.add(os.path.realpath(f["path"]))
-        for v in range(max(1, cur - keep_versions + 1), cur + 1):
+        retained = set(range(max(1, cur - keep_versions + 1), cur + 1))
+        # tagged snapshots are pinned references (Iceberg ref retention):
+        # their files survive vacuum for as long as the tag exists.
+        retained |= {v for v in self.tags().values() if v <= cur}
+        for v in retained:
             for f in self.snapshot(v)["files"]:
                 keep.add(os.path.realpath(f["path"]))
         now = time.time()
@@ -808,10 +865,17 @@ class LakeTable:
                 "kind": f.get("kind", "base"),
                 "rows": f["rows"],
                 "bytes": f["bytes"],
+                # per-file stats as JSON text: queryable with from_json /
+                # get_json_object without freezing a stats schema into the
+                # metadata table (stats columns follow key/order/cluster cols)
+                "stats_json": json.dumps(f.get("stats", {}), sort_keys=True),
             }
             for f in snap["files"]
         ]
-        schema = "path string, bucket int, kind string, rows long, bytes long"
+        schema = (
+            "path string, bucket int, kind string, rows long, bytes long, "
+            "stats_json string"
+        )
         return self.spark.createDataFrame(rows, schema)
 
     def table_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:

@@ -387,3 +387,102 @@ def replay(
     for e in epoch_ids:
         out.append(apply_changes(table, changes.filter(F.col("epoch") == e), e, cfg))
     return out
+
+
+def sync_from(
+    dest: LakeTable,
+    source: LakeTable,
+    cfg: EngineConfig = EngineConfig(),
+) -> dict[str, Any]:
+    """Incrementally replicate ``source`` into ``dest`` via the change data
+    feed — the CONSUMER side of the CDC loop (Delta/Iceberg incremental-sync
+    analog): downstream tables stay fresh by replaying only what changed, not
+    by re-copying state (contrast :meth:`LakeTable.clone`, the full physical
+    replica, and :meth:`LakeTable.export_parquet`, the one-shot extract;
+    reference analog: the dump/restore refresh of the serving PG,
+    `pipeline_load_localPG.py:60-96`, which re-ships everything every time).
+
+    Exactly-once with zero new metadata: progress rides ``dest``'s per-stream
+    watermark map under the stream id ``cdf:<source path>`` with the SOURCE
+    snapshot version as the epoch id — a crash between CDF read and commit
+    re-syncs the same range idempotently, and a re-run after success skips on
+    metadata alone. The first sync bootstraps from v1 (the empty create
+    snapshot), so the full current state arrives as one insert feed.
+
+    The CDF rows map straight onto the change envelope: delete →
+    op 'D' (the source tombstone's (ts, lsn) ride along, so LWW ordering is
+    preserved), insert/update_postimage → op 'U'. Requires the sync horizon's
+    files to still exist in ``source`` — a vacuum past the last-synced version
+    raises (re-bootstrap into a fresh dest, exactly Iceberg's truncated-CDF
+    contract).
+    """
+    import os
+
+    sid = "cdf:" + os.path.realpath(source.path)
+    last = dest.last_stream_epoch(sid)
+    from_v = 1 if last < 0 else last
+    to_v = source.current_version()
+    if to_v <= from_v:
+        return {
+            "status": "up_to_date",
+            "source_version": to_v,
+            "last_synced_version": from_v,
+        }
+    feed = source.table_changes(from_v, to_v).persist()
+    # A delete whose source tombstone was GC'd (expire_tombstones) arrives
+    # with NULL (ts, lsn) — as-is it would LOSE LWW against the destination's
+    # live row and the delete would be dropped. Stamp such rows with the max
+    # (ts, lsn) recorded in the sync range's SNAPSHOT METADATA (per-file
+    # stats survive vacuum because they live in the snapshot JSON): some
+    # intermediate snapshot held the tombstone itself, so the metadata max
+    # STRICTLY dominates the destination's stale row, and a later re-insert
+    # still wins because lsn is globally monotone past the expire horizon.
+    # Fallback for pre-stats snapshots: the feed's own max stamps.
+    meta_ts_us, meta_lsn = None, None
+    for v in range(from_v, to_v + 1):
+        for fdesc in source.snapshot(v)["files"]:
+            st = fdesc.get("stats") or {}
+            if "ts" in st:
+                meta_ts_us = max(meta_ts_us or st["ts"]["max"], st["ts"]["max"])
+            if "lsn" in st:
+                meta_lsn = max(meta_lsn or st["lsn"]["max"], st["lsn"]["max"])
+    import datetime
+
+    meta_ts = (
+        datetime.datetime.fromtimestamp(
+            meta_ts_us / 1_000_000, tz=datetime.timezone.utc
+        )
+        if meta_ts_us is not None
+        else None
+    )
+    stamps = F.broadcast(
+        feed.agg(
+            F.greatest(F.max("ts"), F.lit(meta_ts).cast("timestamp")).alias("_max_ts"),
+            F.greatest(F.max("lsn"), F.lit(meta_lsn).cast("long")).alias("_max_lsn"),
+        )
+    )
+    batch = (
+        feed.crossJoin(stamps)
+        .withColumn("ts", F.coalesce(F.col("ts"), F.col("_max_ts")))
+        .withColumn("lsn", F.coalesce(F.col("lsn"), F.col("_max_lsn")))
+        .drop("_max_ts", "_max_lsn")
+        .withColumn(
+            "op",
+            F.when(F.col("_change_type") == "delete", F.lit("D")).otherwise(F.lit("U")),
+        )
+        .withColumn("epoch", F.lit(to_v).cast("long"))
+        .drop("_change_type")
+    )
+    try:
+        manifest = apply_changes(
+            dest,
+            batch,
+            epoch_id=to_v,
+            cfg=cfg,
+            extra_manifest={"sync_source": source.path, "sync_range": [from_v, to_v]},
+            stream_id=sid,
+        )
+    finally:
+        feed.unpersist()
+    manifest["synced_range"] = [from_v, to_v]
+    return manifest

@@ -315,3 +315,128 @@ def test_compact_cluster_by_ts_makes_range_pruning_effective(spark, warehouse):
     want = _sorted_pd(table.read().filter(F.col("ts") <= hi).drop("_deleted"))
     assert got.equals(want)
     assert table2  # loaded handle stays readable across commits
+
+
+# ------------------------------------------------------------------------ tags
+
+
+def test_tags_resolve_reads_and_pin_vacuum(spark, warehouse):
+    table = _mk_table(spark, warehouse)
+    ch = generate_changes(spark, 1200, n_conv=30, n_epochs=3)
+    replay(table, ch)
+    hist = table.history()
+    v_mid = hist[1]["version"]  # after epoch 0
+    table.create_tag("audited", v_mid)
+    assert table.tags() == {"audited": v_mid}
+    assert _sorted_pd(table.read_public(version="audited")).equals(
+        _sorted_pd(table.read_public(version=v_mid))
+    )
+    with pytest.raises(FileExistsError):
+        table.create_tag("audited")
+    with pytest.raises(KeyError, match="no tag"):
+        table.read_public(version="nope")
+
+    # vacuum keeps the tagged snapshot's files even outside keep_versions
+    table.vacuum(keep_versions=1, orphan_grace_sec=0.0)
+    assert all(os.path.exists(f["path"]) for f in table.snapshot(v_mid)["files"])
+    assert _sorted_pd(table.read_public(version="audited")) is not None
+
+    # untag -> the next vacuum may reclaim it
+    table.delete_tag("audited")
+    table.vacuum(keep_versions=1, orphan_grace_sec=0.0)
+    current_paths = {f["path"] for f in table.snapshot()["files"]}
+    expired = [
+        f["path"]
+        for f in table.snapshot(v_mid)["files"]
+        if f["path"] not in current_paths
+    ]
+    assert expired and not any(os.path.exists(p) for p in expired)
+
+
+def test_write_audit_publish_with_tag_and_rollback(spark, warehouse):
+    table = _mk_table(spark, warehouse)
+    ch = generate_changes(spark, 900, n_conv=25, n_epochs=2)
+    replay(table, ch.filter(F.col("epoch") == 0))
+    good = table.current_version()
+    table.create_tag("last-good", good)
+
+    replay(table, ch.filter(F.col("epoch") == 1))  # the "audit" write
+    # audit fails -> roll back to the tagged state
+    table.rollback(table.resolve_tag("last-good"))
+    assert _sorted_pd(table.read_public()).equals(
+        _sorted_pd(table.read_public(version="last-good"))
+    )
+
+
+# ------------------------------------------------------------- CDF sync_from
+
+
+def test_sync_from_bootstraps_and_stays_incremental(spark, warehouse):
+    from etl_geo_dem_spark.plans.merge import sync_from
+
+    src = _mk_table(spark, warehouse, "src")
+    dst = _mk_table(spark, warehouse, "dst")
+    ch = generate_changes(spark, 2400, n_conv=40, n_epochs=4)
+
+    replay(src, ch.filter(F.col("epoch") < 2))
+    m1 = sync_from(dst, src)
+    assert m1["status"] == "committed"
+    assert _sorted_pd(dst.read_public()).equals(_sorted_pd(src.read_public()))
+
+    # no new source commits -> metadata-only no-op
+    assert sync_from(dst, src)["status"] == "up_to_date"
+
+    # incremental: only the delta range replays (watermark rides dest metadata)
+    v_before = src.current_version()
+    replay(src, ch.filter(F.col("epoch") >= 2))
+    m2 = sync_from(dst, src)
+    assert m2["synced_range"][0] == v_before
+    assert _sorted_pd(dst.read_public()).equals(_sorted_pd(src.read_public()))
+
+    # deletes must replicate, including via tombstones
+    assert (
+        dst.read(include_deleted=True).filter(F.col("_deleted")).count() > 0
+        or src.read(include_deleted=True).filter(F.col("_deleted")).count() == 0
+    )
+
+
+def test_sync_from_replicates_gc_tombstone_delete(spark, warehouse):
+    """A key deleted in source whose tombstone was ALSO expired before the
+    next sync must still disappear downstream (null-stamp delete handling)."""
+    from etl_geo_dem_spark.plans.merge import sync_from
+
+    src = _mk_table(spark, warehouse, "src2")
+    dst = _mk_table(spark, warehouse, "dst2")
+    ch = generate_changes(spark, 1200, n_conv=30, n_epochs=1)
+    replay(src, ch)
+    sync_from(dst, src)
+
+    victim = src.read_public().select("conv_id", "turn_idx").first()
+    del_batch = (
+        ch.filter(
+            (F.col("conv_id") == victim["conv_id"])
+            & (F.col("turn_idx") == victim["turn_idx"])
+        )
+        .limit(1)
+        .withColumn("op", F.lit("D"))
+        .withColumn("epoch", F.lit(1).cast("long"))
+        .withColumn("ts", F.col("ts") + F.expr("interval 1 hour"))
+        .withColumn("lsn", F.col("lsn") + 10_000_000)
+    )
+    apply_changes(src, del_batch, 1)
+    # expire the tombstone before the downstream ever sees it
+    src.expire_tombstones(below_lsn=2 ** 62)
+    assert src.read(include_deleted=True).filter(F.col("_deleted")).count() == 0
+
+    sync_from(dst, src)
+    assert (
+        dst.read_public()
+        .filter(
+            (F.col("conv_id") == victim["conv_id"])
+            & (F.col("turn_idx") == victim["turn_idx"])
+        )
+        .count()
+        == 0
+    )
+    # everything else still matches
+    assert _sorted_pd(dst.read_public()).equals(_sorted_pd(src.read_public()))
