@@ -985,6 +985,39 @@ class LakeTable:
             json.dump(manifest, f, indent=1)
         return manifest
 
+    def plan_compaction(
+        self,
+        min_files: int = 4,
+        small_file_bytes: int = 32 * 1024 * 1024,
+        max_buckets: int | None = None,
+    ) -> list[int]:
+        """Metadata-only maintenance planner: which buckets are worth folding?
+
+        A bucket qualifies when it holds ≥ ``min_files`` files AND (it has any
+        delta files — read amplification — OR its median file is under
+        ``small_file_bytes`` — the small-file problem). Buckets are returned
+        worst-first (most files), optionally capped at ``max_buckets`` so an
+        operator can amortize maintenance across epochs instead of one giant
+        rewrite — feed the result to :meth:`compact_buckets`. Pure snapshot
+        arithmetic: at 100 TB this plans from the manifest without listing or
+        opening a single data file (the planning half of Iceberg's
+        rewrite_data_files binpacking)."""
+        per_bucket: dict[int, list[dict[str, Any]]] = {}
+        for f in self.snapshot()["files"]:
+            per_bucket.setdefault(f["bucket"], []).append(f)
+        scored = []
+        for b, fs in per_bucket.items():
+            if len(fs) < min_files:
+                continue
+            sizes = sorted(x["bytes"] for x in fs)
+            median = sizes[len(sizes) // 2]
+            has_delta = any(x.get("kind", "base") == "delta" for x in fs)
+            if has_delta or median < small_file_bytes:
+                scored.append((len(fs), b))
+        scored.sort(reverse=True)
+        out = [b for _, b in scored]
+        return out[:max_buckets] if max_buckets is not None else out
+
     def delta_counts(self) -> dict[int, int]:
         """Number of delta files per bucket in the current snapshot."""
         out: dict[int, int] = {}

@@ -440,3 +440,29 @@ def test_sync_from_replicates_gc_tombstone_delete(spark, warehouse):
     )
     # everything else still matches
     assert _sorted_pd(dst.read_public()).equals(_sorted_pd(src.read_public()))
+
+
+# -------------------------------------------------------- compaction planning
+
+
+def test_plan_compaction_targets_fragmented_buckets_only(spark, warehouse):
+    table = _mk_table(spark, warehouse, n_buckets=4)
+    ch = generate_changes(spark, 3000, n_conv=60, n_epochs=5)
+    # MOR without auto-fold -> every bucket accumulates one delta per epoch
+    replay(table, ch, EngineConfig(merge_mode="mor", max_deltas_per_bucket=0))
+
+    plan = table.plan_compaction(min_files=4, small_file_bytes=1 << 20)
+    assert plan, "fragmented MOR buckets must be planned"
+    # worst-first ordering by file count
+    counts = {b: 0 for b in plan}
+    for f in table.snapshot()["files"]:
+        if f["bucket"] in counts:
+            counts[f["bucket"]] += 1
+    assert [counts[b] for b in plan] == sorted((counts[b] for b in plan), reverse=True)
+    assert table.plan_compaction(min_files=4, max_buckets=1) == plan[:1]
+
+    before = _sorted_pd(table.read_public())
+    table.compact_buckets(plan)
+    assert _sorted_pd(table.read_public()).equals(before)
+    # folded: nothing left to plan at sane thresholds
+    assert table.plan_compaction(min_files=2, small_file_bytes=1) == []
