@@ -466,3 +466,36 @@ def test_plan_compaction_targets_fragmented_buckets_only(spark, warehouse):
     assert _sorted_pd(table.read_public()).equals(before)
     # folded: nothing left to plan at sane thresholds
     assert table.plan_compaction(min_files=2, small_file_bytes=1) == []
+
+
+# ------------------------------------------------------------- maintenance CLI
+
+
+def test_run_maintenance_cli_surface(spark, warehouse, capsys):
+    import json as _json
+
+    import run_maintenance
+
+    table = _mk_table(spark, warehouse, "cli")
+    ch = generate_changes(spark, 1500, n_conv=30, n_epochs=2)
+    replay(table, ch, EngineConfig(merge_mode="mor", max_deltas_per_bucket=0))
+
+    def run(*argv):
+        assert run_maintenance.main(list(argv) + ["--table", table.path]) == 0
+        return [
+            _json.loads(line)
+            for line in capsys.readouterr().out.splitlines()
+            if line.startswith(("{", "["))
+        ]
+
+    hist = run("history")
+    assert [h["version"] for h in hist] == [1, 2, 3]
+    plan = run("plan", "--min-files", "2")[0]["compact_buckets"]
+    assert plan
+    assert run("compact")[0]["committed_version"] == 4
+    run("tag", "--name", "after-compact")
+    assert run("tags")[0] == {"after-compact": 4}
+    counts = run("changes", "--from-version", "1")
+    assert sum(c["rows"] for c in counts) == table.read_public().count()
+    files = run("files")
+    assert all("stats" in f for f in files)
