@@ -248,32 +248,39 @@ def _apply_changes_once(
     batch_state = _to_state_shape(winners, evolved).withColumn(
         BUCKET_COL, bucket_expr(table.key_col(), n_buckets)
     )
-    # the deduped batch has two consumers (touched-bucket derivation + the
-    # merge-write) — persist it once instead of recomputing the full dedup
-    # chain twice. MEMORY_AND_DISK: spills gracefully when an epoch's winners
-    # exceed memory at scale.
-    batch_state = batch_state.persist()
-
-    # touched-partition derivation (SURVEY.md §4 "partition pruning before
-    # execution") — bounded by n_buckets, safe to collect.
-    t_dedup0 = time.time()
-    touched = sorted(
-        r[0] for r in batch_state.select(BUCKET_COL).distinct().collect()
-    )
-    t_dedup = time.time() - t_dedup0
 
     obs_out = Observation(f"epoch_{epoch_id}_out")
+    t_dedup = 0.0
     t_write0 = time.time()
     if cfg.merge_mode == "mor":
         # merge-on-read: append the epoch's winners as DELTA files — O(batch)
         # writes, no read of current state; the read path resolves LWW over
         # base ∪ deltas (LakeTable.read). Compaction folds deltas back.
+        # ONE Spark job per epoch: the touched-bucket set falls out of the
+        # written files' metadata for free, so no pre-write distinct+collect
+        # (and no persist) — that extra job was a per-epoch driver-side
+        # constant that Amdahl-capped multi-executor scaling (measured in
+        # BENCH/BASELINE.md §4: the 4-JVM level pays it at ~4× the relative
+        # cost of the 1-JVM level).
         out = batch_state.observe(obs_out, F.count(F.lit(1)).alias("rows"))
         new_files = table.write_data_files(
             out, kind="delta", max_records_per_file=cfg.target_file_rows
         )
         carried = snap["files"]  # nothing rewritten, everything carries over
+        touched = sorted({f["bucket"] for f in new_files})
     else:
+        # copy-on-write needs the touched set BEFORE writing (it decides which
+        # state buckets to read), so the deduped batch has two consumers —
+        # persist it once instead of recomputing the dedup chain twice.
+        # MEMORY_AND_DISK: spills gracefully when winners exceed memory.
+        batch_state = batch_state.persist()
+        t_dedup0 = time.time()
+        # touched-partition derivation (SURVEY.md §4 "partition pruning before
+        # execution") — bounded by n_buckets, safe to collect.
+        touched = sorted(
+            r[0] for r in batch_state.select(BUCKET_COL).distinct().collect()
+        )
+        t_dedup = time.time() - t_dedup0
         target = table.read(buckets=touched, include_deleted=True)
         for c in new_cols:  # union-by-name null-fill for pre-evolution state
             if c not in target.columns:
@@ -292,8 +299,8 @@ def _apply_changes_once(
             merged, kind="base", max_records_per_file=cfg.target_file_rows
         )
         carried = [f for f in snap["files"] if f["bucket"] not in set(touched)]
+        batch_state.unpersist()
     t_write = time.time() - t_write0
-    batch_state.unpersist()
     version = table.commit(
         carried + new_files,
         summary={
@@ -306,7 +313,6 @@ def _apply_changes_once(
             "touched_buckets": touched,
             "new_files": len(new_files),
             "schema_evolved": new_cols,
-        "schema_widened": widened_cols,
             "schema_widened": widened_cols,
         },
         schema=evolved,
