@@ -251,7 +251,7 @@ def _apply_changes_once(
 
     obs_out = Observation(f"epoch_{epoch_id}_out")
     t_dedup = 0.0
-    t_write0 = time.time()
+    t_write0 = time.time()  # cow re-bases this after its dedup+prune phase
     if cfg.merge_mode == "mor":
         # merge-on-read: append the epoch's winners as DELTA files — O(batch)
         # writes, no read of current state; the read path resolves LWW over
@@ -281,6 +281,7 @@ def _apply_changes_once(
             r[0] for r in batch_state.select(BUCKET_COL).distinct().collect()
         )
         t_dedup = time.time() - t_dedup0
+        t_write0 = time.time()  # don't double-count the dedup phase as write
         target = table.read(buckets=touched, include_deleted=True)
         for c in new_cols:  # union-by-name null-fill for pre-evolution state
             if c not in target.columns:
@@ -492,3 +493,91 @@ def sync_from(
         feed.unpersist()
     manifest["synced_range"] = [from_v, to_v]
     return manifest
+
+
+# --------------------------------------------------------------- predicate DML
+DML_STREAM = "dml"
+
+
+def _global_max_lsn(table: LakeTable) -> int:
+    """Largest lsn stored in the table, from snapshot METADATA alone when the
+    per-file stats carry it (every file written since stats landed does); one
+    metadata-pruned agg as the fallback for pre-stats tables."""
+    best = None
+    for f in table.snapshot()["files"]:
+        st = (f.get("stats") or {}).get("lsn")
+        if st is None:
+            best = None
+            break  # one stats-less file -> metadata answer would be a lie
+        best = st["max"] if best is None else max(best, st["max"])
+    if best is not None:
+        return int(best)
+    row = table.read(include_deleted=True).agg(F.max("lsn")).first()
+    return int(row[0]) if row[0] is not None else 0
+
+
+def _dml_batch(table: LakeTable, condition, assignments: dict | None, op: str):
+    """Matching live rows re-emitted as change events that WIN last-writer-wins:
+    same ts (so any later real event still supersedes on its own merits),
+    lsn = global max + 1 (wins the minor key against every stored version)."""
+    lsn = _global_max_lsn(table) + 1
+    df = table.read(include_deleted=False).filter(condition)
+    snap = table.snapshot()
+    types = {f.name: f.dataType for f in T.StructType.fromJson(snap["schema"]).fields}
+    for colname, expr in (assignments or {}).items():
+        if colname in set(snap.get("key_cols", KEY_COLS)) | set(
+            snap.get("order_cols", ORDER_COLS)
+        ):
+            raise ValueError(f"cannot assign key/order column {colname!r}")
+        # cast to the table's column type: keeps e.g. a bare NULL (void) or an
+        # int literal assigned to a long column from tripping schema evolution
+        df = df.withColumn(
+            colname, expr.cast(types[colname]) if colname in types else expr
+        )
+    return (
+        df.drop("_deleted")
+        .withColumn("lsn", F.lit(lsn).cast("long"))
+        .withColumn("op", F.lit(op))
+    )
+
+
+def _apply_dml(table: LakeTable, batch, cfg: EngineConfig) -> dict[str, Any]:
+    epoch = table.last_stream_epoch(DML_STREAM) + 1
+    return apply_changes(
+        table,
+        batch.withColumn("epoch", F.lit(epoch).cast("long")),
+        epoch_id=epoch,
+        cfg=cfg,
+        stream_id=DML_STREAM,
+        extra_manifest={"dml": True},
+    )
+
+
+def delete_where(table: LakeTable, condition, cfg: EngineConfig = EngineConfig()) -> dict[str, Any]:
+    """``DELETE FROM table WHERE condition`` (GDPR-style predicate delete),
+    expressed as CDC on the engine's own machinery: matching live rows become
+    tombstone events stamped to win LWW, applied through the standard
+    exactly-once epoch commit. Deletes therefore compose correctly with
+    in-flight CDC (a later real event with a newer (ts, lsn) still
+    resurrects the key — the stream remains the source of truth), replicate
+    through the change data feed / sync_from, and roll back like any commit.
+    Progress rides the dedicated per-stream watermark ``dml`` so predicate
+    DML never collides with the WAL's batch epoch numbering."""
+    return _apply_dml(table, _dml_batch(table, condition, None, "D"), cfg)
+
+
+def update_where(
+    table: LakeTable,
+    condition,
+    assignments: dict,
+    cfg: EngineConfig = EngineConfig(),
+) -> dict[str, Any]:
+    """``UPDATE table SET col = expr WHERE condition`` as CDC: matching rows
+    re-emitted with the assignments applied and an lsn that wins LWW (same
+    ts — later real events still supersede). Key and order columns cannot be
+    assigned (a key change is a delete + insert; order columns are the LWW
+    clock). Same exactly-once / CDF / rollback properties as
+    :func:`delete_where`."""
+    if not assignments:
+        raise ValueError("update_where requires at least one assignment")
+    return _apply_dml(table, _dml_batch(table, condition, assignments, "U"), cfg)

@@ -47,7 +47,7 @@ def main(argv=None) -> int:
     p.add_argument("cmd", choices=[
         "history", "files", "plan", "compact", "vacuum", "expire-tombstones",
         "rebucket", "rollback", "tag", "untag", "tags", "sync", "export",
-        "changes",
+        "changes", "delete-where", "update-where",
     ])
     p.add_argument("--table", required=True)
     p.add_argument("--master", default=None)
@@ -64,6 +64,9 @@ def main(argv=None) -> int:
     p.add_argument("--to-version", type=int, default=None)
     p.add_argument("--min-files", type=int, default=4)
     p.add_argument("--max-buckets", type=int, default=None)
+    p.add_argument("--where", help="SQL predicate for delete-where/update-where")
+    p.add_argument("--set", dest="assignments", nargs="*", default=None,
+                   metavar="COL=SQL_EXPR", help="assignments for update-where")
     a = p.parse_args(argv)
 
     spark = get_spark(master=a.master, app_name=f"maintenance_{a.cmd}")
@@ -121,6 +124,28 @@ def main(argv=None) -> int:
         if not a.dest:
             p.error("--dest required")
         _emit(t.export_parquet(a.dest, version=a.version))
+    elif a.cmd == "delete-where":
+        if not a.where:
+            p.error("--where required")
+        from pyspark.sql import functions as F
+
+        from etl_geo_dem_spark.plans.merge import delete_where
+
+        _emit(delete_where(t, F.expr(a.where)))
+    elif a.cmd == "update-where":
+        if not a.where or not a.assignments:
+            p.error("--where and --set required")
+        from pyspark.sql import functions as F
+
+        from etl_geo_dem_spark.plans.merge import update_where
+
+        sets = {}
+        for kv in a.assignments:
+            col, _, expr = kv.partition("=")
+            if not expr:
+                p.error(f"bad --set entry {kv!r} (want COL=SQL_EXPR)")
+            sets[col.strip()] = F.expr(expr)
+        _emit(update_where(t, F.expr(a.where), sets))
     elif a.cmd == "changes":
         if a.from_version is None:
             p.error("--from-version required")

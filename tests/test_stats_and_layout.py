@@ -499,3 +499,61 @@ def test_run_maintenance_cli_surface(spark, warehouse, capsys):
     assert sum(c["rows"] for c in counts) == table.read_public().count()
     files = run("files")
     assert all("stats" in f for f in files)
+
+
+# -------------------------------------------------------------- predicate DML
+
+
+def test_delete_where_and_update_where(spark, warehouse):
+    from etl_geo_dem_spark.plans.merge import delete_where, update_where
+
+    table = _mk_table(spark, warehouse, "dml")
+    ch = generate_changes(spark, 2000, n_conv=40, n_epochs=2)
+    replay(table, ch)
+    last_batch_epoch = table.last_epoch()
+    total = table.read_public().count()
+
+    # UPDATE ... SET tool='redacted' WHERE role='tool'
+    n_match = table.read_public().filter(F.col("role") == "tool").count()
+    assert n_match > 0
+    m = update_where(table, F.col("role") == "tool", {"tool": F.lit("redacted")})
+    assert m["status"] == "committed"
+    assert table.last_epoch() == last_batch_epoch  # batch watermark untouched
+    upd = table.read_public().filter(F.col("role") == "tool")
+    assert upd.count() == n_match
+    assert upd.filter(F.col("tool") != "redacted").count() == 0
+
+    # DELETE FROM ... WHERE role='tool'
+    delete_where(table, F.col("role") == "tool")
+    assert table.read_public().filter(F.col("role") == "tool").count() == 0
+    assert table.read_public().count() == total - n_match
+    # tombstones exist so late events can't silently resurrect
+    assert table.read(include_deleted=True).filter(F.col("_deleted")).count() >= n_match
+
+    # a LATER real CDC event (newer ts) must still win over the DML stamp
+    victim = ch.limit(1).select("conv_id", "turn_idx").first()
+    resurrect = (
+        ch.filter(
+            (F.col("conv_id") == victim["conv_id"])
+            & (F.col("turn_idx") == victim["turn_idx"])
+        )
+        .limit(1)
+        .withColumn("op", F.lit("U"))
+        .withColumn("text", F.lit("back"))
+        .withColumn("ts", F.col("ts") + F.expr("interval 2 days"))
+        .withColumn("lsn", F.col("lsn") + 50_000_000)
+        .withColumn("epoch", F.lit(last_batch_epoch + 1).cast("long"))
+    )
+    apply_changes(table, resurrect, last_batch_epoch + 1)
+    row = (
+        table.read_public()
+        .filter(
+            (F.col("conv_id") == victim["conv_id"])
+            & (F.col("turn_idx") == victim["turn_idx"])
+        )
+        .collect()
+    )
+    assert len(row) == 1 and row[0]["text"] == "back"
+
+    with pytest.raises(ValueError, match="key/order"):
+        update_where(table, F.lit(True), {"turn_idx": F.lit(0)})
