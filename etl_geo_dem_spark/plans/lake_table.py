@@ -523,21 +523,26 @@ class LakeTable:
                 if c in df.columns
             )
         )
-        out = []
-        for p in sorted(glob.glob(os.path.join(commit_dir, f"{BUCKET_COL}=*", "*.parquet"))):
-            bucket = int(p.split(f"{BUCKET_COL}=")[1].split(os.sep)[0])
+        def describe(p: str) -> dict[str, Any]:
             meta = pq.ParquetFile(p).metadata
-            out.append(
-                {
-                    "path": p,
-                    "bucket": bucket,
-                    "kind": kind,
-                    "rows": meta.num_rows,
-                    "bytes": os.path.getsize(p),
-                    "stats": _file_column_stats(meta, stats_cols),
-                }
-            )
-        return out
+            return {
+                "path": p,
+                "bucket": int(p.split(f"{BUCKET_COL}=")[1].split(os.sep)[0]),
+                "kind": kind,
+                "rows": meta.num_rows,
+                "bytes": os.path.getsize(p),
+                "stats": _file_column_stats(meta, stats_cols),
+            }
+
+        # footer reads are independent I/O — thread them so the driver-side
+        # commit cost stays sub-second even at thousands of buckets per commit
+        # (map() preserves input order: descriptors stay path-sorted, so
+        # snapshot JSONs remain byte-deterministic for a given content).
+        from concurrent.futures import ThreadPoolExecutor
+
+        paths = sorted(glob.glob(os.path.join(commit_dir, f"{BUCKET_COL}=*", "*.parquet")))
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            return list(pool.map(describe, paths))
 
     def commit(
         self,
