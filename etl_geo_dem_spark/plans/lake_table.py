@@ -552,6 +552,7 @@ class LakeTable:
         expected_parent: int | None = None,
         stream_watermarks: dict[str, int] | None = None,
         n_buckets: int | None = None,
+        dropped_columns: list[str] | None = None,
     ) -> int:
         """Commit a new snapshot; returns the new version number.
 
@@ -587,6 +588,11 @@ class LakeTable:
                 stream_watermarks
                 if stream_watermarks is not None
                 else prev.get("stream_watermarks", {})
+            ),
+            "dropped_columns": (
+                dropped_columns
+                if dropped_columns is not None
+                else prev.get("dropped_columns", [])
             ),
             "files": files,
             "summary": summary,
@@ -764,6 +770,7 @@ class LakeTable:
                     "cluster_by": cluster_by,
                 },
                 expected_parent=base_version,
+                dropped_columns=[],  # full rewrite purges dropped columns physically
             )
 
         return self._retrying_commit(attempt, retries)
@@ -1058,6 +1065,52 @@ class LakeTable:
 
         return self._retrying_commit(attempt, retries)
 
+    def drop_column(self, name: str, retries: int = 2) -> int:
+        """METADATA-ONLY column drop (Iceberg drop-column semantics minus
+        field ids): the column leaves the schema in one commit; no data file
+        is rewritten — reads simply stop projecting it (column pruning means
+        the bytes are never even fetched). Key, order and internal columns
+        are refused.
+
+        Ghost-data protection: the name goes on the snapshot's
+        ``dropped_columns`` tombstone list. Re-ADDING a same-named column
+        while old files still physically hold the bytes would resurrect
+        pre-drop values on read (name-based parquet resolution has no field
+        ids to disambiguate), so ``apply_changes`` REFUSES to evolve a
+        dropped name back in until a full rewrite (:meth:`compact` /
+        :meth:`rebucket`) has purged the bytes — those clear the tombstone
+        list."""
+        snap = self.snapshot()
+        protected = (
+            set(snap.get("key_cols", ["conv_id", "turn_idx"]))
+            | set(snap.get("order_cols", ["ts", "lsn"]))
+            | {snap.get("key_col", "conv_id"), "_deleted"}
+        )
+        if name in protected:
+            raise ValueError(f"cannot drop key/order/internal column {name!r}")
+        schema = T.StructType.fromJson(snap["schema"])
+        if name not in [f.name for f in schema.fields]:
+            raise KeyError(f"no column {name!r} in table schema")
+        reduced = T.StructType([f for f in schema.fields if f.name != name])
+
+        def attempt() -> int:
+            base = self.current_version()
+            return self.commit(
+                list(self.snapshot(base)["files"]),
+                summary={
+                    "operation": "drop_column",
+                    "epoch_id": self.last_epoch(),
+                    "column": name,
+                },
+                schema=reduced,
+                expected_parent=base,
+                dropped_columns=sorted(
+                    set(self.snapshot(base).get("dropped_columns", [])) | {name}
+                ),
+            )
+
+        return self._retrying_commit(attempt, retries)
+
     # ------------------------------------------------- layout / history evolution
     def bucket_of(self, key_value: Any, n_buckets: int | None = None) -> int:
         """Storage bucket of one key value — the driver-side end of
@@ -1131,6 +1184,7 @@ class LakeTable:
                 },
                 expected_parent=base_version,
                 n_buckets=new_n_buckets,
+                dropped_columns=[],  # full rewrite purges dropped columns physically
             )
 
         return self._retrying_commit(attempt, retries)
@@ -1169,6 +1223,7 @@ class LakeTable:
                 expected_parent=self.current_version(),
                 stream_watermarks=dict(target.get("stream_watermarks", {})),
                 n_buckets=int(target["n_buckets"]),
+                dropped_columns=list(target.get("dropped_columns", [])),
             )
 
         return self._retrying_commit(attempt, retries)

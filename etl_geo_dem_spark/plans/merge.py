@@ -76,6 +76,12 @@ class SchemaEvolutionError(Exception):
     """Non-additive schema change in a change batch (type conflict / dropped col)."""
 
 
+class ExpectationViolation(Exception):
+    """A data-quality expectation failed and fail_on_violation was set; the
+    epoch did NOT commit (its written files are unreferenced orphans that
+    vacuum() reaps) — the write-audit half of WAP without a second pass."""
+
+
 # lossless widening lattice (Iceberg's permitted type promotions): within the
 # integer chain, within the float chain, and small-int → double (exact up to
 # 2^53). long → double is NOT here — it silently loses precision.
@@ -170,8 +176,21 @@ def apply_changes(
     extra_manifest: dict[str, Any] | None = None,
     stream_id: str | None = None,
     retries: int = 2,
+    expectations: dict[str, Any] | None = None,
+    fail_on_violation: bool = False,
 ) -> dict[str, Any]:
     """Apply one epoch of change events to the table. Returns the epoch manifest.
+
+    ``expectations`` are named data-quality predicates over the INPUT events
+    (Delta-constraints analog): ``{"ts_set": "ts IS NOT NULL", "known_op":
+    F.col("op").isin("I","U","D")}`` — string entries go through ``F.expr``.
+    Violation counts ride the SAME pass as the merge (Observation metrics on
+    the batch — no extra scan, no extra shuffle) and land in the epoch
+    manifest under ``expectations``. With ``fail_on_violation`` the epoch
+    raises :class:`ExpectationViolation` AFTER the data files are written but
+    BEFORE the snapshot commit, so a bad batch leaves no committed state —
+    only orphan files for vacuum. A NULL predicate result counts as a
+    violation (unknown is not acceptable).
 
     ``extra_manifest`` fields (e.g. a loader's ``source_path``) are merged into
     the epoch manifest BEFORE its first write, so lineage that restart logic
@@ -195,7 +214,8 @@ def apply_changes(
     while True:
         try:
             return _apply_changes_once(
-                table, batch, epoch_id, cfg, extra_manifest, stream_id
+                table, batch, epoch_id, cfg, extra_manifest, stream_id,
+                expectations, fail_on_violation,
             )
         except CommitConflict:
             if attempt >= retries:
@@ -210,6 +230,8 @@ def _apply_changes_once(
     cfg: EngineConfig,
     extra_manifest: dict[str, Any] | None,
     stream_id: str | None,
+    expectations: dict[str, Any] | None = None,
+    fail_on_violation: bool = False,
 ) -> dict[str, Any]:
     t0 = time.time()
     last = table.last_epoch()
@@ -226,6 +248,14 @@ def _apply_changes_once(
     n_buckets = table.n_buckets()
     state_schema = table.schema()
     evolved, new_cols, widened_cols = evolve_schema(state_schema, batch)
+    ghosts = set(new_cols) & set(snap.get("dropped_columns", []))
+    if ghosts:
+        raise SchemaEvolutionError(
+            f"column(s) {sorted(ghosts)} were previously DROPPED and old data "
+            "files still hold their bytes — re-adding the name now would "
+            "resurrect pre-drop values (no field ids in name-based parquet "
+            "resolution). compact() or rebucket() first to purge, then re-add."
+        )
     # merge keys/ordering come from the table's own metadata (persisted at
     # create() and carried forward by every commit) — module defaults only
     # apply to pre-metadata snapshots.
@@ -233,7 +263,16 @@ def _apply_changes_once(
     order_cols = snap.get("order_cols", ORDER_COLS)
 
     obs_in = Observation(f"epoch_{epoch_id}_in")
-    batch = batch.observe(obs_in, F.count(F.lit(1)).alias("events"))
+    exp_metrics = []
+    for name, cond in (expectations or {}).items():
+        c = F.expr(cond) if isinstance(cond, str) else cond
+        # NULL predicate result counts as a violation (unknown != acceptable)
+        exp_metrics.append(
+            F.sum(F.when(F.coalesce(c, F.lit(False)), 0).otherwise(1)).alias(
+                f"viol_{name}"
+            )
+        )
+    batch = batch.observe(obs_in, F.count(F.lit(1)).alias("events"), *exp_metrics)
 
     hot_keys = None
     strategy = cfg.dedup_strategy
@@ -302,6 +341,15 @@ def _apply_changes_once(
         carried = [f for f in snap["files"] if f["bucket"] not in set(touched)]
         batch_state.unpersist()
     t_write = time.time() - t_write0
+    exp_counts = {
+        name: _obs_value(obs_in, f"viol_{name}") for name in (expectations or {})
+    }
+    if fail_on_violation and any(v > 0 for v in exp_counts.values()):
+        bad = {k: v for k, v in exp_counts.items() if v > 0}
+        raise ExpectationViolation(
+            f"epoch {epoch_id}: data-quality expectations violated {bad} — "
+            "snapshot NOT committed (written files are orphans; vacuum reaps)"
+        )
     version = table.commit(
         carried + new_files,
         summary={
@@ -355,6 +403,7 @@ def _apply_changes_once(
         "n_touched": len(touched),
         "schema_evolved": new_cols,
         "schema_widened": widened_cols,
+        "expectations": exp_counts,
         "merge_mode": cfg.merge_mode,
         "compacted_buckets": compacted_buckets,
         "dedup_strategy": strategy,

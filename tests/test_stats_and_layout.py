@@ -557,3 +557,80 @@ def test_delete_where_and_update_where(spark, warehouse):
 
     with pytest.raises(ValueError, match="key/order"):
         update_where(table, F.lit(True), {"turn_idx": F.lit(0)})
+
+
+# ------------------------------------------------ expectations & drop column
+
+
+def test_expectations_counted_and_gating(spark, warehouse):
+    from etl_geo_dem_spark.plans.merge import ExpectationViolation
+
+    table = _mk_table(spark, warehouse, "exp")
+    ch = generate_changes(spark, 800, n_conv=20, n_epochs=1)
+
+    # counting mode: violations recorded in the manifest, epoch still commits
+    m = apply_changes(
+        table, ch, 0,
+        expectations={
+            "ts_set": "ts IS NOT NULL",
+            "turn_nonneg": F.col("turn_idx") >= 0,
+            "text_long": F.length("text") > 10_000,  # mostly violated
+        },
+    )
+    assert m["status"] == "committed"
+    assert m["expectations"]["ts_set"] == 0
+    assert m["expectations"]["turn_nonneg"] == 0
+    assert m["expectations"]["text_long"] > 0
+
+    # gating mode: violation -> no commit, no state change
+    v_before = table.current_version()
+    bad = ch.withColumn("epoch", F.lit(1).cast("long"))
+    with pytest.raises(ExpectationViolation, match="text_long"):
+        apply_changes(
+            table, bad, 1,
+            expectations={"text_long": "length(text) > 10000"},
+            fail_on_violation=True,
+        )
+    assert table.current_version() == v_before
+    assert table.last_epoch() == 0
+    # the aborted epoch's files are unreferenced orphans -> vacuum reaps them
+    removed = table.vacuum(keep_versions=1, orphan_grace_sec=0.0)
+    assert removed
+
+
+def test_drop_column_metadata_only_and_ghost_guard(spark, warehouse):
+    from etl_geo_dem_spark.plans.merge import SchemaEvolutionError
+
+    table = _mk_table(spark, warehouse, "dropc")
+    ch = generate_changes(spark, 1000, n_conv=25, n_epochs=2, evolve_from_epoch=1)
+    replay(table, ch)  # epoch 1 adds tool_args
+    assert "tool_args" in [f.name for f in table.schema().fields]
+    files_before = [f["path"] for f in table.snapshot()["files"]]
+
+    table.drop_column("tool_args")
+    assert "tool_args" not in [f.name for f in table.schema().fields]
+    assert "tool_args" not in table.read_public().columns
+    # metadata-only: the exact same data files are referenced
+    assert [f["path"] for f in table.snapshot()["files"]] == files_before
+
+    # re-adding the dropped name is refused while old bytes remain
+    readd = (
+        ch.filter(F.col("epoch") == 1)
+        .withColumn("epoch", F.lit(2).cast("long"))
+    )
+    with pytest.raises(SchemaEvolutionError, match="DROPPED"):
+        apply_changes(table, readd, 2)
+
+    # a full rewrite purges the bytes and clears the tombstone -> re-add works
+    table.compact()
+    assert table.snapshot().get("dropped_columns") == []
+    m = apply_changes(table, readd, 2)
+    assert m["schema_evolved"] == ["tool_args"]
+    # resurrection check: only epoch-2 re-added rows carry values
+    with_vals = table.read_public().filter(F.col("tool_args").isNotNull()).count()
+    assert 0 < with_vals <= readd.count()
+
+    with pytest.raises(ValueError, match="key/order"):
+        table.drop_column("turn_idx")
+    with pytest.raises(KeyError):
+        table.drop_column("nope")
