@@ -427,6 +427,8 @@ def replay(
     table: LakeTable,
     changes: DataFrame,
     cfg: EngineConfig = EngineConfig(),
+    expectations: dict[str, Any] | None = None,
+    fail_on_violation: bool = False,
 ) -> list[dict[str, Any]]:
     """Replay a multi-epoch change stream, resuming past committed epochs.
 
@@ -441,7 +443,12 @@ def replay(
     )
     out = []
     for e in epoch_ids:
-        out.append(apply_changes(table, changes.filter(F.col("epoch") == e), e, cfg))
+        out.append(
+            apply_changes(
+                table, changes.filter(F.col("epoch") == e), e, cfg,
+                expectations=expectations, fail_on_violation=fail_on_violation,
+            )
+        )
     return out
 
 

@@ -40,6 +40,8 @@ def start_cdc_ingest(
     available_now: bool = True,
     dedup_watermark: str | None = None,
     stream_id: str | None = None,
+    expectations: dict | None = None,
+    fail_on_violation: bool = False,
 ):
     """Tail ``source_dir`` for change-event parquet files and MERGE each
     micro-batch into ``table``. Returns the StreamingQuery.
@@ -59,7 +61,13 @@ def start_cdc_ingest(
     re-reads segments after reconnects): the LWW MERGE is already idempotent,
     so final state is identical either way; what changes is shuffle volume.
     State is bounded by the watermark horizon, exactly like the reference's
-    bounded out-of-orderness assumption (tombstone horizon)."""
+    bounded out-of-orderness assumption (tombstone horizon).
+
+    ``expectations`` / ``fail_on_violation`` pass through to
+    :func:`apply_changes` per micro-batch: violation counts land in every
+    micro-batch's epoch manifest; with the gate on, a bad batch fails the
+    stream BEFORE its snapshot commit, and the checkpoint re-delivers the
+    same batch id on restart — nothing is lost or double-applied."""
     import os
 
     sid = stream_id or os.path.realpath(checkpoint_dir)
@@ -73,7 +81,10 @@ def start_cdc_ingest(
         )
 
     def sink(batch_df, batch_id: int):
-        apply_changes(table, batch_df, epoch_id=batch_id, cfg=cfg, stream_id=sid)
+        apply_changes(
+            table, batch_df, epoch_id=batch_id, cfg=cfg, stream_id=sid,
+            expectations=expectations, fail_on_violation=fail_on_violation,
+        )
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

@@ -44,7 +44,22 @@ def main(argv=None):
         help="mor = O(batch) delta appends + read-time LWW + auto-compaction "
              "(the ingest default); cow = rewrite touched buckets per epoch",
     )
+    p.add_argument(
+        "--expect", nargs="*", default=None, metavar="NAME=SQL_PREDICATE",
+        help="data-quality expectations counted per epoch (e.g. "
+             "ts_set='ts IS NOT NULL'); with --fail-on-violation a violating "
+             "epoch aborts BEFORE its snapshot commit",
+    )
+    p.add_argument("--fail-on-violation", action="store_true")
     args = p.parse_args(argv)
+    expectations = None
+    if args.expect:
+        expectations = {}
+        for kv in args.expect:
+            name, _, pred = kv.partition("=")
+            if not pred:
+                p.error(f"bad --expect entry {kv!r} (want NAME=SQL_PREDICATE)")
+            expectations[name.strip()] = pred
 
     spark = get_spark(master=args.master, app_name="cdc_ingest")
     t = (
@@ -78,6 +93,8 @@ def main(argv=None):
             n_buckets=args.n_buckets,
             merge_mode=args.merge_mode,
         ),
+        expectations=expectations,
+        fail_on_violation=args.fail_on_violation,
     )
     wall = time.time() - t0
     applied = sum(m.get("input_events", 0) for m in manifests)
