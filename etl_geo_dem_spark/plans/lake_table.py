@@ -1065,6 +1065,26 @@ class LakeTable:
 
         return self._retrying_commit(attempt, retries)
 
+    def suggest_n_buckets(
+        self,
+        target_bucket_bytes: int = 1 << 30,
+        min_buckets: int = 8,
+        max_buckets: int = 1 << 20,
+    ) -> int:
+        """Metadata-only sizing advice for :meth:`rebucket`: the power of two
+        that brings live bytes per bucket near ``target_bucket_bytes``
+        (default 1 GiB — large enough that per-bucket commit overhead
+        amortizes, small enough that one bucket's copy-on-write rewrite and
+        one read task stay cheap). Powers of two keep bucket membership
+        roughly stable across resizes (half the keys stay put per doubling
+        under pmod). Pure snapshot arithmetic — compare with
+        :meth:`n_buckets` and rebucket when the drift exceeds ~4x."""
+        total = sum(f["bytes"] for f in self.snapshot()["files"])
+        n = 1
+        while n * target_bucket_bytes < total:
+            n *= 2
+        return max(min_buckets, min(n, max_buckets))
+
     def drop_column(self, name: str, retries: int = 2) -> int:
         """METADATA-ONLY column drop (Iceberg drop-column semantics minus
         field ids): the column leaves the schema in one commit; no data file

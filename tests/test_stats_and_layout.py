@@ -634,3 +634,17 @@ def test_drop_column_metadata_only_and_ghost_guard(spark, warehouse):
         table.drop_column("turn_idx")
     with pytest.raises(KeyError):
         table.drop_column("nope")
+
+
+def test_suggest_n_buckets_power_of_two_sizing(spark, warehouse):
+    table = _mk_table(spark, warehouse, "sizing")
+    ch = generate_changes(spark, 1500, n_conv=40, n_epochs=1)
+    replay(table, ch)
+    total = sum(f["bytes"] for f in table.snapshot()["files"])
+    # tiny target -> scales up, power of two, within clamps
+    n = table.suggest_n_buckets(target_bucket_bytes=max(1, total // 20),
+                                min_buckets=1, max_buckets=1 << 10)
+    assert n & (n - 1) == 0
+    assert n * max(1, total // 20) >= total
+    # huge target -> clamps to min_buckets
+    assert table.suggest_n_buckets(target_bucket_bytes=1 << 40, min_buckets=8) == 8
