@@ -27,17 +27,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-
-
-def _sqdist(a, b):
-    d = F.zip_with(a, b, lambda x, y: x - y)
-    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x * x)
-
-
-def _norm(a):
-    return F.sqrt(_dot(a, a))
+from etl_geo_dem_spark.functions.vectors import dot_expr as _dot
+from etl_geo_dem_spark.functions.vectors import norm_expr as _norm
+from etl_geo_dem_spark.functions.vectors import sqdist_expr as _sqdist
 
 
 def kmeans_fit(

@@ -671,7 +671,11 @@ class LakeTable:
         # their files survive vacuum for as long as the tag exists.
         retained |= {v for v in self.tags().values() if v <= cur}
         for v in retained:
-            for f in self.snapshot(v)["files"]:
+            try:
+                files = self.snapshot(v)["files"]
+            except FileNotFoundError:
+                continue  # clone() replicas omit expired snapshots' JSONs
+            for f in files:
                 keep.add(os.path.realpath(f["path"]))
         now = time.time()
         removed = []
@@ -958,10 +962,27 @@ class LakeTable:
             .when(~new_live & old_live, F.lit("delete"))
             .otherwise(F.lit(None))  # tombstone refresh / never-visible key
         )
+        # A delete whose tombstone was GC'd between the two snapshots has NO
+        # new-side row — its new-side (ts, lsn) are null. Emit the MINIMAL
+        # winning stamp instead: the old row's ts and lsn + 1. That beats
+        # exactly the state the delete removes (a consumer replaying the feed
+        # converges) while any event the original tombstone could not have
+        # shadowed — the expire contract says those all carry lsn above the
+        # horizon, and real re-inserts carry later ts — still wins. Stamping
+        # higher (e.g. the feed's max ts) would wrongly shadow later
+        # legitimate re-inserts whose event time is smaller.
+        def out_col(f):
+            if f.name == order_cols[-1]:  # minor order key: old value + 1
+                fallback = (F.col(f"_old_{f.name}") + F.lit(1)).cast(f.dataType)
+                return F.coalesce(F.col(f.name), fallback).alias(f.name)
+            if f.name in order_cols:  # major keys (e.g. ts): old value as-is
+                return F.coalesce(F.col(f.name), F.col(f"_old_{f.name}")).alias(f.name)
+            return F.col(f.name)
+
         return (
             j.withColumn("_change_type", change)
             .filter(F.col("_change_type").isNotNull())
-            .select(*[f.name for f in out_fields], "_change_type")
+            .select(*[out_col(f) for f in out_fields], "_change_type")
         )
 
     def export_parquet(self, dest_dir: str, version: int | None = None) -> dict[str, Any]:
@@ -1078,8 +1099,16 @@ class LakeTable:
         one read task stay cheap). Powers of two keep bucket membership
         roughly stable across resizes (half the keys stay put per doubling
         under pmod). Pure snapshot arithmetic — compare with
-        :meth:`n_buckets` and rebucket when the drift exceeds ~4x."""
-        total = sum(f["bytes"] for f in self.snapshot()["files"])
+        :meth:`n_buckets` and rebucket when the drift exceeds ~4x.
+
+        Counts BASE files only: delta files re-state rows their base already
+        holds, so including them would inflate the advice by the chain depth
+        (compact first for the most accurate number)."""
+        total = sum(
+            f["bytes"]
+            for f in self.snapshot()["files"]
+            if f.get("kind", "base") == "base"
+        )
         n = 1
         while n * target_bucket_bytes < total:
             n *= 2
@@ -1100,23 +1129,27 @@ class LakeTable:
         dropped name back in until a full rewrite (:meth:`compact` /
         :meth:`rebucket`) has purged the bytes — those clear the tombstone
         list."""
-        snap = self.snapshot()
-        protected = (
-            set(snap.get("key_cols", ["conv_id", "turn_idx"]))
-            | set(snap.get("order_cols", ["ts", "lsn"]))
-            | {snap.get("key_col", "conv_id"), "_deleted"}
-        )
-        if name in protected:
-            raise ValueError(f"cannot drop key/order/internal column {name!r}")
-        schema = T.StructType.fromJson(snap["schema"])
-        if name not in [f.name for f in schema.fields]:
-            raise KeyError(f"no column {name!r} in table schema")
-        reduced = T.StructType([f for f in schema.fields if f.name != name])
-
         def attempt() -> int:
-            base = self.current_version()
+            # everything derives from ONE snapshot read inside the CAS window:
+            # deriving the reduced schema outside the retry loop would silently
+            # erase a column a concurrent evolution added between read and
+            # commit (the interloper's column would leave the schema while its
+            # bytes remained — un-tombstoned ghost data).
+            snap = self.snapshot()
+            base = snap["version"]
+            protected = (
+                set(snap.get("key_cols", ["conv_id", "turn_idx"]))
+                | set(snap.get("order_cols", ["ts", "lsn"]))
+                | {snap.get("key_col", "conv_id"), "_deleted"}
+            )
+            if name in protected:
+                raise ValueError(f"cannot drop key/order/internal column {name!r}")
+            schema = T.StructType.fromJson(snap["schema"])
+            if name not in [f.name for f in schema.fields]:
+                raise KeyError(f"no column {name!r} in table schema")
+            reduced = T.StructType([f for f in schema.fields if f.name != name])
             return self.commit(
-                list(self.snapshot(base)["files"]),
+                list(snap["files"]),
                 summary={
                     "operation": "drop_column",
                     "epoch_id": self.last_epoch(),
@@ -1125,7 +1158,7 @@ class LakeTable:
                 schema=reduced,
                 expected_parent=base,
                 dropped_columns=sorted(
-                    set(self.snapshot(base).get("dropped_columns", [])) | {name}
+                    set(snap.get("dropped_columns", [])) | {name}
                 ),
             )
 
@@ -1139,9 +1172,17 @@ class LakeTable:
         second hash implementation to drift; the job is metadata-sized (one
         task, one literal row — Catalyst folds it without touching the table)."""
         n = self.n_buckets() if n_buckets is None else n_buckets
+        # cast the literal to the STORED key column's type before hashing:
+        # xxhash64 is type-sensitive (int32(42) and int64(42) hash differently)
+        # and the write path hashed the column's type — a bare lit() would pick
+        # the Python value's natural type and silently probe the wrong bucket.
+        key_field = {f.name: f.dataType for f in self.schema().fields}.get(
+            self.key_col()
+        )
+        lit = F.lit(key_value).cast(key_field) if key_field is not None else F.lit(key_value)
         return int(
             self.spark.range(1)
-            .select(F.pmod(F.xxhash64(F.lit(key_value)), F.lit(n)).cast("int"))
+            .select(F.pmod(F.xxhash64(lit), F.lit(n)).cast("int"))
             .first()[0]
         )
 

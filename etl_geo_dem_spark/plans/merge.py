@@ -248,6 +248,19 @@ def _apply_changes_once(
     n_buckets = table.n_buckets()
     state_schema = table.schema()
     evolved, new_cols, widened_cols = evolve_schema(state_schema, batch)
+    # Widening is order- and grouping-preserving (upcast longs compare like
+    # their ints), so composite-key and LWW-clock columns may widen — but the
+    # BUCKETING column may not: xxhash64 is type-sensitive (int32(42) and
+    # int64(42) hash to different buckets), so widening it would strand every
+    # stored row in a bucket the new hash no longer probes.
+    bucket_key = snap.get("key_col", "conv_id")
+    if bucket_key in widened_cols:
+        raise SchemaEvolutionError(
+            f"cannot widen bucketing key column {bucket_key!r}: the storage "
+            "bucket is xxhash64 over the key's TYPE — stored rows would split "
+            "across buckets. rebucket() after an explicit type migration "
+            "instead."
+        )
     ghosts = set(new_cols) & set(snap.get("dropped_columns", []))
     if ghosts:
         raise SchemaEvolutionError(
@@ -491,62 +504,28 @@ def sync_from(
             "source_version": to_v,
             "last_synced_version": from_v,
         }
-    feed = source.table_changes(from_v, to_v).persist()
-    # A delete whose source tombstone was GC'd (expire_tombstones) arrives
-    # with NULL (ts, lsn) — as-is it would LOSE LWW against the destination's
-    # live row and the delete would be dropped. Stamp such rows with the max
-    # (ts, lsn) recorded in the sync range's SNAPSHOT METADATA (per-file
-    # stats survive vacuum because they live in the snapshot JSON): some
-    # intermediate snapshot held the tombstone itself, so the metadata max
-    # STRICTLY dominates the destination's stale row, and a later re-insert
-    # still wins because lsn is globally monotone past the expire horizon.
-    # Fallback for pre-stats snapshots: the feed's own max stamps.
-    meta_ts_us, meta_lsn = None, None
-    for v in range(from_v, to_v + 1):
-        for fdesc in source.snapshot(v)["files"]:
-            st = fdesc.get("stats") or {}
-            if "ts" in st:
-                meta_ts_us = max(meta_ts_us or st["ts"]["max"], st["ts"]["max"])
-            if "lsn" in st:
-                meta_lsn = max(meta_lsn or st["lsn"]["max"], st["lsn"]["max"])
-    import datetime
-
-    meta_ts = (
-        datetime.datetime.fromtimestamp(
-            meta_ts_us / 1_000_000, tz=datetime.timezone.utc
-        )
-        if meta_ts_us is not None
-        else None
-    )
-    stamps = F.broadcast(
-        feed.agg(
-            F.greatest(F.max("ts"), F.lit(meta_ts).cast("timestamp")).alias("_max_ts"),
-            F.greatest(F.max("lsn"), F.lit(meta_lsn).cast("long")).alias("_max_lsn"),
-        )
-    )
+    feed = source.table_changes(from_v, to_v)
+    # Deletes whose source tombstone was GC'd carry the minimal winning stamp
+    # straight from the CDF (old row's ts, lsn + 1 — see
+    # LakeTable.table_changes), so the feed maps onto the change envelope
+    # 1:1: no stamp fabrication here, and later legitimate re-inserts in the
+    # source still win LWW downstream.
     batch = (
-        feed.crossJoin(stamps)
-        .withColumn("ts", F.coalesce(F.col("ts"), F.col("_max_ts")))
-        .withColumn("lsn", F.coalesce(F.col("lsn"), F.col("_max_lsn")))
-        .drop("_max_ts", "_max_lsn")
-        .withColumn(
+        feed.withColumn(
             "op",
             F.when(F.col("_change_type") == "delete", F.lit("D")).otherwise(F.lit("U")),
         )
         .withColumn("epoch", F.lit(to_v).cast("long"))
         .drop("_change_type")
     )
-    try:
-        manifest = apply_changes(
-            dest,
-            batch,
-            epoch_id=to_v,
-            cfg=cfg,
-            extra_manifest={"sync_source": source.path, "sync_range": [from_v, to_v]},
-            stream_id=sid,
-        )
-    finally:
-        feed.unpersist()
+    manifest = apply_changes(
+        dest,
+        batch,
+        epoch_id=to_v,
+        cfg=cfg,
+        extra_manifest={"sync_source": source.path, "sync_range": [from_v, to_v]},
+        stream_id=sid,
+    )
     manifest["synced_range"] = [from_v, to_v]
     return manifest
 

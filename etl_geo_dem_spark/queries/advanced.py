@@ -194,7 +194,9 @@ def graph_cc_two_phase(spark, sf_dir):
         eager=True
     )
     sig_prev = None
-    for _ in range(20):  # O(log² n) bound; small graphs converge in ~3
+    converged = False
+    MAX_ROUNDS = 40  # O(log² n) bound; small graphs converge in ~3
+    for _ in range(MAX_ROUNDS):
         sym = cur.unionByName(
             cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
         ).distinct().select(F.col("a").alias("u"), F.col("b").alias("v"))
@@ -211,8 +213,18 @@ def graph_cc_two_phase(spark, sf_dir):
         ).collect()[0]
         sig = (sig["n"], sig["h"])
         if sig == sig_prev:
+            converged = True
             break
         sig_prev = sig
+    if not converged:
+        # labeling a NON-star forest as if converged would silently fragment
+        # components — fail loudly instead (the O(log² n) theory bound makes
+        # this unreachable below astronomically large graphs; hitting it means
+        # a bug, not a big input)
+        raise RuntimeError(
+            f"two-phase connected components did not reach a fixpoint in "
+            f"{MAX_ROUNDS} rounds"
+        )
     # at the fixpoint cur is a star forest: (node → component min). Roots and
     # isolated nodes never appear on the a-side — they label themselves.
     nodes = ev.select(F.col("user_id").alias("node")).distinct()

@@ -22,12 +22,8 @@ def _vec(col="embedding"):
     return F.col(col).cast("array<double>")
 
 
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-
-
-def _norm(a):
-    return F.sqrt(_dot(a, a))
+from etl_geo_dem_spark.functions.vectors import dot_expr as _dot
+from etl_geo_dem_spark.functions.vectors import norm_expr as _norm
 
 
 _DOT_SQL = (

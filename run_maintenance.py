@@ -87,6 +87,9 @@ def main(argv=None) -> int:
             min_files=a.min_files, max_buckets=a.max_buckets)})
     elif a.cmd == "compact":
         if a.buckets:
+            if a.cluster_by:
+                p.error("--cluster-by applies to full compaction only "
+                        "(per-bucket compact_buckets keeps the key sort)")
             v = t.compact_buckets(a.buckets)
         else:
             v = t.compact(cluster_by=a.cluster_by)
@@ -111,11 +114,15 @@ def main(argv=None) -> int:
             p.error("--name required")
         _emit({"tag": a.name, "version": t.create_tag(a.name, a.version)})
     elif a.cmd == "untag":
+        if not a.name:
+            p.error("--name required")
         t.delete_tag(a.name)
         _emit({"deleted": a.name})
     elif a.cmd == "tags":
         _emit(t.tags())
     elif a.cmd == "sync":
+        if not a.src:
+            p.error("--from required")
         from etl_geo_dem_spark.plans.merge import sync_from
 
         src = LakeTable.load(spark, a.src)

@@ -1,0 +1,190 @@
+"""Regression tests for the round-3 self-review findings: drop_column CAS
+re-derivation, CDF stamps for GC'd-tombstone deletes vs later re-inserts,
+type-correct bucket_of on numeric keys, vacuum on a clone()d replica, and
+the bucketing-key widening guard."""
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_geo_dem_spark.config import EngineConfig
+from etl_geo_dem_spark.plans.lake_table import BUCKET_COL, LakeTable, bucket_expr
+from etl_geo_dem_spark.plans.merge import (
+    SchemaEvolutionError,
+    apply_changes,
+    replay,
+    sync_from,
+)
+from etl_geo_dem_spark.schemas import STATE_SCHEMA
+from etl_geo_dem_spark.sources.changes import generate_changes
+
+UTC = datetime.timezone.utc
+
+
+def _mk_table(spark, warehouse, name="t", n_buckets=4):
+    return LakeTable.create(
+        spark, os.path.join(warehouse, name), STATE_SCHEMA, n_buckets=n_buckets
+    )
+
+
+def test_drop_column_rederives_schema_after_commit_conflict(spark, warehouse):
+    """A schema evolution that lands between drop_column's snapshot read and
+    its commit must survive the drop (previously the stale pre-conflict
+    schema erased the interloper's column without tombstoning it)."""
+    table = _mk_table(spark, warehouse)
+    ch = generate_changes(spark, 600, n_conv=15, n_epochs=1)
+    replay(table, ch)
+
+    real_commit = table.commit
+    state = {"interfered": False}
+
+    def racing_commit(*args, **kwargs):
+        if not state["interfered"]:
+            state["interfered"] = True
+            # interloper: additive evolution commits first
+            evolved = ch.withColumn("epoch", F.lit(1).cast("long")).withColumn(
+                "extra_col", F.lit("x")
+            )
+            apply_changes(table, evolved, 1)
+            # the outer attempt's CAS must now fail and re-derive
+        return real_commit(*args, **kwargs)
+
+    table.commit = racing_commit
+    try:
+        table.drop_column("tool")
+    finally:
+        table.commit = real_commit
+
+    names = [f.name for f in table.schema().fields]
+    assert "tool" not in names
+    assert "extra_col" in names, "concurrent evolution was erased by drop_column"
+    assert table.snapshot()["dropped_columns"] == ["tool"]
+
+
+def test_cdf_gc_delete_stamp_does_not_shadow_later_reinsert(spark, warehouse):
+    """Delete K, expire its tombstone, sync; then re-insert K in the source
+    with a ts SMALLER than other events in the sync range — the re-insert
+    must still win downstream (the fabricated delete stamp is minimal, not
+    range-max)."""
+    src = _mk_table(spark, warehouse, "src")
+    dst = _mk_table(spark, warehouse, "dst")
+
+    def ev(op, conv, ts_s, lsn, epoch, text="t"):
+        return {
+            "op": op, "conv_id": conv, "turn_idx": 0, "role": "user",
+            "text": text, "tool": None,
+            "ts": datetime.datetime(2024, 1, 1, tzinfo=UTC)
+            + datetime.timedelta(seconds=ts_s),
+            "lsn": lsn, "epoch": epoch,
+        }
+
+    from etl_geo_dem_spark.schemas import CHANGE_SCHEMA
+
+    # epoch 0: K at ts=100; unrelated key far in the future (ts=1e6)
+    e0 = spark.createDataFrame(
+        [ev("I", "K", 100, 1, 0), ev("I", "other", 1_000_000, 2, 0)], CHANGE_SCHEMA
+    )
+    apply_changes(src, e0, 0)
+    sync_from(dst, src)
+
+    # epoch 1: delete K at ts=110, then GC the tombstone before the next sync
+    e1 = spark.createDataFrame([ev("D", "K", 110, 3, 1)], CHANGE_SCHEMA)
+    apply_changes(src, e1, 1)
+    src.expire_tombstones(below_lsn=2 ** 62)
+    sync_from(dst, src)
+    assert dst.read_public().filter(F.col("conv_id") == "K").count() == 0
+
+    # epoch 2: source re-inserts K at ts=200 — far below the range's max ts
+    e2 = spark.createDataFrame([ev("I", "K", 200, 4, 2, text="back")], CHANGE_SCHEMA)
+    apply_changes(src, e2, 2)
+    sync_from(dst, src)
+    rows = dst.read_public().filter(F.col("conv_id") == "K").collect()
+    assert len(rows) == 1 and rows[0]["text"] == "back"
+    assert sorted(r["conv_id"] for r in dst.read_public().collect()) == ["K", "other"]
+
+
+def _long_key_table(spark, warehouse):
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.LongType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("lsn", T.LongType(), True),
+            T.StructField("_deleted", T.BooleanType(), False),
+        ]
+    )
+    return LakeTable.create(
+        spark, os.path.join(warehouse, "longkey"), schema, n_buckets=8
+    )
+
+
+def test_bucket_of_casts_literal_to_stored_key_type(spark, warehouse):
+    """xxhash64 is type-sensitive: point_lookup on a LONG key column given a
+    small Python int must hash the LONG representation, not int32."""
+    table = _long_key_table(spark, warehouse)
+    rows = [
+        (i, 0, f"txt{i}", datetime.datetime(2024, 1, 1, tzinfo=UTC), i, False)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, table.schema()).withColumn(
+        BUCKET_COL, bucket_expr("conv_id", 8)
+    )
+    files = table.write_data_files(df)
+    table.commit(files, summary={"operation": "merge", "epoch_id": 0})
+
+    for key in (0, 7, 19):
+        got = table.point_lookup(key).collect()
+        assert len(got) == 1 and got[0]["text"] == f"txt{key}", (
+            f"point_lookup({key}) probed the wrong bucket"
+        )
+
+
+def test_widening_bucketing_key_refused(spark, warehouse):
+    """Widening the BUCKETING key column would re-hash every key into a
+    different bucket — refused; widening non-bucketing key parts stays OK."""
+    schema_int = T.StructType(
+        [
+            T.StructField("conv_id", T.IntegerType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("lsn", T.LongType(), True),
+            T.StructField("_deleted", T.BooleanType(), False),
+        ]
+    )
+    t2 = LakeTable.create(
+        spark, os.path.join(warehouse, "intkey"), schema_int, n_buckets=4
+    )
+    wide_batch = spark.createDataFrame(
+        [("I", 1, 0, "x", datetime.datetime(2024, 1, 1, tzinfo=UTC), 1, 0)],
+        T.StructType(
+            [
+                T.StructField("op", T.StringType(), False),
+                T.StructField("conv_id", T.LongType(), False),  # widens the bucket key
+                T.StructField("turn_idx", T.IntegerType(), False),
+                T.StructField("text", T.StringType(), True),
+                T.StructField("ts", T.TimestampType(), False),
+                T.StructField("lsn", T.LongType(), False),
+                T.StructField("epoch", T.LongType(), False),
+            ]
+        ),
+    )
+    with pytest.raises(SchemaEvolutionError, match="bucketing key"):
+        apply_changes(t2, wide_batch, 0)
+
+
+def test_vacuum_on_cloned_replica_with_expired_history(spark, warehouse):
+    """clone() omits expired snapshots' JSONs; replica vacuum must skip the
+    holes instead of crashing on a missing snapshot file."""
+    table = _mk_table(spark, warehouse, "vsrc")
+    ch = generate_changes(spark, 1200, n_conv=25, n_epochs=4)
+    replay(table, ch)
+    table.vacuum(keep_versions=1, orphan_grace_sec=0.0)
+    replica = table.clone(os.path.join(warehouse, "vdst"))
+    removed = replica.vacuum(keep_versions=3, orphan_grace_sec=0.0)
+    assert isinstance(removed, list)  # no FileNotFoundError
+    assert replica.read_public().count() == table.read_public().count()
