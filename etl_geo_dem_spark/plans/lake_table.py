@@ -738,6 +738,7 @@ class LakeTable:
                     "tombstone_horizon_lsn": below_lsn,
                 },
                 expected_parent=base_version,
+                dropped_columns=[],  # full rewrite purges dropped columns physically
             )
 
         return self._retrying_commit(attempt, retries)
@@ -971,11 +972,21 @@ class LakeTable:
         # horizon, and real re-inserts carry later ts — still wins. Stamping
         # higher (e.g. the feed's max ts) would wrongly shadow later
         # legitimate re-inserts whose event time is smaller.
+        numeric = (
+            T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+            T.FloatType, T.DoubleType, T.DecimalType,
+        )
         def out_col(f):
-            if f.name == order_cols[-1]:  # minor order key: old value + 1
+            if f.name == order_cols[-1] and isinstance(f.dataType, numeric):
+                # minor order key, numeric: old value + 1 (strictly wins)
                 fallback = (F.col(f"_old_{f.name}") + F.lit(1)).cast(f.dataType)
                 return F.coalesce(F.col(f.name), fallback).alias(f.name)
-            if f.name in order_cols:  # major keys (e.g. ts): old value as-is
+            if f.name in order_cols:
+                # major order keys — and a NON-numeric minor key, where "+1"
+                # has no meaning (timestamp/string minor keys): old value
+                # as-is. The fabricated stamp then TIES the destination row
+                # instead of strictly beating it; consumers with such order
+                # schemas should sync before expire_tombstones runs.
                 return F.coalesce(F.col(f.name), F.col(f"_old_{f.name}")).alias(f.name)
             return F.col(f.name)
 
@@ -1104,6 +1115,8 @@ class LakeTable:
         Counts BASE files only: delta files re-state rows their base already
         holds, so including them would inflate the advice by the chain depth
         (compact first for the most accurate number)."""
+        if target_bucket_bytes <= 0:
+            raise ValueError("target_bucket_bytes must be positive")
         total = sum(
             f["bytes"]
             for f in self.snapshot()["files"]

@@ -354,8 +354,11 @@ def _apply_changes_once(
         carried = [f for f in snap["files"] if f["bucket"] not in set(touched)]
         batch_state.unpersist()
     t_write = time.time() - t_write0
+    # F.sum over an EMPTY batch is NULL (and an optimized-away plan has no
+    # metrics at all) — both mean zero violations, not a crash in the gate.
     exp_counts = {
-        name: _obs_value(obs_in, f"viol_{name}") for name in (expectations or {})
+        name: int(_obs_value(obs_in, f"viol_{name}") or 0)
+        for name in (expectations or {})
     }
     if fail_on_violation and any(v > 0 for v in exp_counts.values()):
         bad = {k: v for k, v in exp_counts.items() if v > 0}
@@ -526,6 +529,27 @@ def sync_from(
         extra_manifest={"sync_source": source.path, "sync_range": [from_v, to_v]},
         stream_id=sid,
     )
+    # schema reconciliation: a metadata-only drop_column in the source emits
+    # ZERO CDF rows (identical file list), so without this the replica keeps
+    # the column and its pre-drop values — exactly the ghost-data divergence
+    # the drop tombstones exist to prevent, reproduced downstream. Mirror the
+    # drop; the replica then also refuses a re-add until ITS bytes are purged.
+    dsnap = dest.snapshot()
+    protected = (
+        set(dsnap.get("key_cols", KEY_COLS))
+        | set(dsnap.get("order_cols", ORDER_COLS))
+        | {dsnap.get("key_col", "conv_id"), "_deleted"}
+    )
+    src_cols = {
+        f["name"] for f in source.snapshot(to_v)["schema"]["fields"]
+    }
+    mirrored = []
+    for f in dest.schema().fields:
+        if f.name not in src_cols and f.name not in protected:
+            dest.drop_column(f.name)
+            mirrored.append(f.name)
+    if mirrored:
+        manifest["dropped_columns_mirrored"] = mirrored
     manifest["synced_range"] = [from_v, to_v]
     return manifest
 

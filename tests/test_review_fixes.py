@@ -188,3 +188,91 @@ def test_vacuum_on_cloned_replica_with_expired_history(spark, warehouse):
     removed = replica.vacuum(keep_versions=3, orphan_grace_sec=0.0)
     assert isinstance(removed, list)  # no FileNotFoundError
     assert replica.read_public().count() == table.read_public().count()
+
+
+def test_empty_batch_with_expectations_commits_cleanly(spark, warehouse):
+    """F.sum over an empty batch is NULL — the gate must treat it as zero
+    violations, not crash, and the manifest must record 0."""
+    table = _mk_table(spark, warehouse, "empt")
+    from etl_geo_dem_spark.schemas import CHANGE_SCHEMA
+
+    empty = spark.createDataFrame([], CHANGE_SCHEMA)
+    m = apply_changes(
+        table, empty, 0,
+        expectations={"ts_set": "ts IS NOT NULL"},
+        fail_on_violation=True,
+    )
+    assert m["status"] == "committed"
+    assert m["expectations"] == {"ts_set": 0}
+
+
+def test_sync_from_mirrors_source_column_drop(spark, warehouse):
+    """A metadata-only drop in the source emits no CDF rows; sync must still
+    drop the column at the replica (else pre-drop ghosts diverge)."""
+    src = _mk_table(spark, warehouse, "dsrc")
+    dst = _mk_table(spark, warehouse, "ddst")
+    ch = generate_changes(spark, 800, n_conv=20, n_epochs=1, evolve_from_epoch=0)
+    replay(src, ch)  # table has tool_args
+    sync_from(dst, src)
+    assert "tool_args" in [f.name for f in dst.schema().fields]
+
+    src.drop_column("tool_args")
+    m = sync_from(dst, src)
+    assert m.get("dropped_columns_mirrored") == ["tool_args"]
+    assert "tool_args" not in [f.name for f in dst.schema().fields]
+    assert dst.snapshot()["dropped_columns"] == ["tool_args"]
+
+
+def test_expire_tombstones_clears_dropped_columns(spark, warehouse):
+    table = _mk_table(spark, warehouse, "exptomb")
+    ch = generate_changes(spark, 800, n_conv=20, n_epochs=1, evolve_from_epoch=0)
+    replay(table, ch)
+    table.drop_column("tool_args")
+    assert table.snapshot()["dropped_columns"] == ["tool_args"]
+    table.expire_tombstones(below_lsn=2 ** 62)  # full rewrite purges bytes
+    assert table.snapshot()["dropped_columns"] == []
+
+
+def test_suggest_n_buckets_rejects_nonpositive_target(spark, warehouse):
+    table = _mk_table(spark, warehouse, "sz2")
+    with pytest.raises(ValueError, match="positive"):
+        table.suggest_n_buckets(target_bucket_bytes=0)
+
+
+def test_table_changes_works_with_timestamp_minor_order_key(spark, warehouse):
+    """A table whose LAST order col is non-numeric (ts only) must still
+    produce a CDF — the +1 stamp bump is numeric-only and must not even be
+    constructed for other types."""
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("ts", T.TimestampType(), True),
+            T.StructField("lsn", T.LongType(), True),
+            T.StructField("_deleted", T.BooleanType(), False),
+        ]
+    )
+    table = LakeTable.create(
+        spark, os.path.join(warehouse, "tsorder"), schema,
+        n_buckets=2, order_cols=["ts"],
+    )
+    rows = [
+        ("a", 0, "x", datetime.datetime(2024, 1, 1, tzinfo=UTC), 1, False),
+        ("b", 0, "y", datetime.datetime(2024, 1, 2, tzinfo=UTC), 2, False),
+    ]
+    df = spark.createDataFrame(rows, schema).withColumn(
+        BUCKET_COL, bucket_expr("conv_id", 2)
+    )
+    table.commit(table.write_data_files(df), summary={"operation": "merge", "epoch_id": 0})
+    v1 = table.current_version()
+    rows2 = [("c", 0, "z", datetime.datetime(2024, 1, 3, tzinfo=UTC), 3, False)]
+    df2 = spark.createDataFrame(rows2, schema).withColumn(
+        BUCKET_COL, bucket_expr("conv_id", 2)
+    )
+    table.commit(
+        table.snapshot()["files"] + table.write_data_files(df2),
+        summary={"operation": "merge", "epoch_id": 1},
+    )
+    feed = table.table_changes(v1).collect()  # no AnalysisException
+    assert {r["conv_id"] for r in feed} == {"c"}
