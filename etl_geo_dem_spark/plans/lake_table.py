@@ -1141,7 +1141,14 @@ class LakeTable:
         ids to disambiguate), so ``apply_changes`` REFUSES to evolve a
         dropped name back in until a full rewrite (:meth:`compact` /
         :meth:`rebucket`) has purged the bytes — those clear the tombstone
-        list."""
+        list.
+
+        RENAME is deliberately not offered: without field ids a rename is a
+        drop + re-add, and files from before the rename would null-fill the
+        new name — silently losing data on read. Express a rename as
+        ``update_where`` into a newly added column followed by
+        ``drop_column`` of the old one (explicitly a data rewrite)."""
+
         def attempt() -> int:
             # everything derives from ONE snapshot read inside the CAS window:
             # deriving the reduced schema outside the retry loop would silently
