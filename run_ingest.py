@@ -51,6 +51,19 @@ def main(argv=None):
              "epoch aborts BEFORE its snapshot commit",
     )
     p.add_argument("--fail-on-violation", action="store_true")
+    p.add_argument(
+        "--stream-source",
+        help="tail this directory as a Structured Streaming source instead of "
+             "a batch --source (exactly-once via the per-stream watermark; "
+             "resumable from --checkpoint)",
+    )
+    p.add_argument("--checkpoint", help="streaming checkpoint dir (required with --stream-source)")
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument(
+        "--follow", action="store_true",
+        help="keep tailing indefinitely (default: availableNow — drain what "
+             "exists, then stop)",
+    )
     args = p.parse_args(argv)
     expectations = None
     if args.expect:
@@ -67,6 +80,38 @@ def main(argv=None):
         if LakeTable(spark, args.table).exists()
         else LakeTable.create(spark, args.table, STATE_SCHEMA, n_buckets=args.n_buckets)
     )
+    if args.stream_source:
+        if not args.checkpoint:
+            p.error("--checkpoint required with --stream-source")
+        from etl_geo_dem_spark.streaming.ingest import start_cdc_ingest
+
+        t0 = time.time()
+        q = start_cdc_ingest(
+            spark, t, args.stream_source, CHANGE_SCHEMA, args.checkpoint,
+            cfg=EngineConfig(
+                dedup_strategy=args.strategy,
+                n_buckets=args.n_buckets,
+                merge_mode=args.merge_mode,
+            ),
+            max_files_per_trigger=args.max_files_per_trigger,
+            available_now=not args.follow,
+            expectations=expectations,
+            fail_on_violation=args.fail_on_violation,
+        )
+        q.awaitTermination()
+        sid_watermarks = t.snapshot().get("stream_watermarks", {})
+        print(
+            json.dumps(
+                {
+                    "mode": "stream",
+                    "wall_sec": round(time.time() - t0, 2),
+                    "snapshot_version": t.current_version(),
+                    "stream_watermarks": sid_watermarks,
+                    "final_rows": t.read_public().count(),
+                }
+            )
+        )
+        return 0
     if args.synthetic:
         changes = generate_changes(
             spark, args.synthetic, n_conv=max(100, args.synthetic // 200),
