@@ -10,6 +10,12 @@ Local/sandbox usage (also exercised by tests):
 
     python run_ingest.py --table /tmp/wh/transcripts --synthetic 1000000
 
+Streaming-tail mode (readStream → foreachBatch → MERGE, exactly-once via the
+per-stream watermark; restart from the same checkpoint is a metadata no-op):
+
+    python run_ingest.py --table /lake/transcripts \\
+        --stream-source '/wal/segments/*' --checkpoint /ckpt/ingest --follow
+
 The job is resumable from any point: committed epochs are skipped on metadata
 alone (the epoch watermark lives inside the atomic lake snapshot), so rerunning
 after a crash continues exactly where the last commit left off.

@@ -276,3 +276,34 @@ def test_table_changes_works_with_timestamp_minor_order_key(spark, warehouse):
     )
     feed = table.table_changes(v1).collect()  # no AnalysisException
     assert {r["conv_id"] for r in feed} == {"c"}
+
+
+def test_run_ingest_stream_mode_end_to_end(spark, warehouse, tmp_path, capsys):
+    """The cluster entrypoint's streaming-tail mode: segments drain into the
+    table exactly-once; a rerun from the same checkpoint is a no-op."""
+    import json as _json
+
+    import run_ingest
+
+    src = tmp_path / "wal"
+    ch = generate_changes(spark, 900, n_conv=20, n_epochs=3)
+    for e in range(3):
+        ch.filter(F.col("epoch") == e).coalesce(1).write.mode("overwrite").parquet(
+            str(src / f"seg_{e}")
+        )
+    argv = [
+        "--table", os.path.join(warehouse, "st"),
+        "--stream-source", str(src) + "/*",
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--n-buckets", "4",
+        "--max-files-per-trigger", "1",
+    ]
+    assert run_ingest.main(argv) == 0
+    out1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out1["mode"] == "stream" and out1["final_rows"] > 0
+    assert list(out1["stream_watermarks"].values()) == [2]  # 3 micro-batches
+
+    assert run_ingest.main(argv) == 0  # same checkpoint -> metadata no-op
+    out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["snapshot_version"] == out1["snapshot_version"]
+    assert out2["final_rows"] == out1["final_rows"]
