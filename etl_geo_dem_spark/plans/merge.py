@@ -12,10 +12,13 @@ Semantics (SURVEY.md §2.3 J5 — the reference's join-update
     (deletes on absent keys still write a tombstone, so a later out-of-order
      event older than the delete cannot resurrect the row)
 
-Physically: per-key LWW reduce of the batch → derive touched buckets → read ONLY
-those buckets of current state → one more LWW reduce of (state ∪ batch-winners) →
-copy-on-write rewrite of touched buckets → atomic snapshot commit carrying the
-epoch id. Untouched buckets' files carry over to the new snapshot unchanged.
+Physically (copy-on-write): per-key LWW reduce of the batch → derive touched
+buckets → read ONLY those buckets of current state → one more LWW reduce of
+(state ∪ batch-winners) → copy-on-write rewrite of touched buckets → atomic
+snapshot commit carrying the epoch id. Untouched buckets' files carry over to
+the new snapshot unchanged. Merge-on-read is ONE Spark job per epoch: LWW
+reduce → delta-file append; the touched-bucket set falls out of the written
+files' metadata, so there is no pre-write derivation pass at all.
 
 Exactly-once: the epoch id commits atomically inside the snapshot; re-applying an
 epoch ≤ the committed watermark is a no-op (and even a forced re-apply converges
