@@ -115,10 +115,17 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Probed ANN: route the query to its ``nprobe`` nearest centroids, scan
     ONLY vectors assigned to those clusters, return exact cosine top-k
     (rounded to 6 dp, id tiebreak — engine-deterministic ranking).
+
+    ``assigned`` is the (id, cluster_id) index table. Pass a MATERIALIZED one
+    (``assign_clusters(...)`` written to parquet / cached) when serving many
+    queries: recomputing it is an O(corpus × k) pass, which is fine for one
+    ad-hoc lookup but defeats the probe pruning at serving rates — the index
+    is built once, queries only pay the probed-cluster scan.
 
     Recall contract: like every IVF index, candidates outside the probed
     clusters are missed (recall < 1 vs brute force); every returned score is
@@ -134,7 +141,8 @@ def ivf_topk(
         .limit(nprobe)
         .select("cluster_id")
     )
-    assigned = assign_clusters(emb, centroids, id_col=id_col, vec_col=vec_col)
+    if assigned is None:
+        assigned = assign_clusters(emb, centroids, id_col=id_col, vec_col=vec_col)
     cand_ids = assigned.join(F.broadcast(probe), "cluster_id").select(id_col)
     cand = emb.join(cand_ids, id_col).filter(F.col(id_col) != query_id)
     scored = cand.crossJoin(F.broadcast(q)).select(

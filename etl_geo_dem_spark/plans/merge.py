@@ -603,15 +603,38 @@ def _dml_batch(table: LakeTable, condition, assignments: dict | None, op: str):
     )
 
 
-def _apply_dml(table: LakeTable, batch, cfg: EngineConfig) -> dict[str, Any]:
-    epoch = table.last_stream_epoch(DML_STREAM) + 1
-    return apply_changes(
-        table,
-        batch.withColumn("epoch", F.lit(epoch).cast("long")),
-        epoch_id=epoch,
-        cfg=cfg,
-        stream_id=DML_STREAM,
-        extra_manifest={"dml": True},
+def _apply_dml(table: LakeTable, batch_builder, cfg: EngineConfig, retries: int = 4) -> dict[str, Any]:
+    """Apply one predicate-DML batch with its own outer retry loop.
+
+    The epoch id AND the batch must both re-derive per attempt: two
+    concurrent DML calls race to the same ``last_stream_epoch + 1`` — the
+    loser's inner retry would otherwise re-submit the SAME epoch id, see it
+    at-or-below the winner's advanced watermark, and be silently SKIPPED
+    (a dropped delete/update). And the loser's matching rows / lsn stamp
+    were derived from a snapshot the winner just replaced, so the batch is
+    rebuilt from scratch too (``batch_builder`` closes over the predicate,
+    not the data)."""
+    from etl_geo_dem_spark.plans.lake_table import CommitConflict
+
+    for _ in range(retries + 1):
+        epoch = table.last_stream_epoch(DML_STREAM) + 1
+        try:
+            m = apply_changes(
+                table,
+                batch_builder().withColumn("epoch", F.lit(epoch).cast("long")),
+                epoch_id=epoch,
+                cfg=cfg,
+                stream_id=DML_STREAM,
+                extra_manifest={"dml": True},
+                retries=0,  # re-derive HERE (fresh epoch + fresh batch), not inside
+            )
+        except CommitConflict:
+            continue
+        if m["status"] == "skipped":
+            continue  # another DML took this epoch id between read and apply
+        return m
+    raise CommitConflict(
+        f"predicate DML lost the optimistic-concurrency race {retries + 1} times"
     )
 
 
@@ -625,7 +648,7 @@ def delete_where(table: LakeTable, condition, cfg: EngineConfig = EngineConfig()
     through the change data feed / sync_from, and roll back like any commit.
     Progress rides the dedicated per-stream watermark ``dml`` so predicate
     DML never collides with the WAL's batch epoch numbering."""
-    return _apply_dml(table, _dml_batch(table, condition, None, "D"), cfg)
+    return _apply_dml(table, lambda: _dml_batch(table, condition, None, "D"), cfg)
 
 
 def update_where(
@@ -642,4 +665,4 @@ def update_where(
     :func:`delete_where`."""
     if not assignments:
         raise ValueError("update_where requires at least one assignment")
-    return _apply_dml(table, _dml_batch(table, condition, assignments, "U"), cfg)
+    return _apply_dml(table, lambda: _dml_batch(table, condition, assignments, "U"), cfg)

@@ -85,6 +85,10 @@ def cdc_engine_replay_smoke(spark, sf_dir):
     if os.path.exists(tpath):
         # same-session re-run: the input is deterministic, so reuse the table
         # already built (earlier cached results keep their backing files).
+        # Touch the ROOT as a liveness marker: writes only update nested
+        # subdir mtimes, so a >1h-lived app would otherwise look stale to a
+        # concurrent session's reclaim sweep and lose its scratch mid-query.
+        os.utime(wh, None)
         return LakeTable.load(spark, tpath).read_public().orderBy("conv_id", "turn_idx")
     os.makedirs(wh, exist_ok=True)
     table = LakeTable.create(spark, tpath, STATE_SCHEMA, n_buckets=8)

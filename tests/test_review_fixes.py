@@ -307,3 +307,43 @@ def test_run_ingest_stream_mode_end_to_end(spark, warehouse, tmp_path, capsys):
     out2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["snapshot_version"] == out1["snapshot_version"]
     assert out2["final_rows"] == out1["final_rows"]
+
+
+def test_concurrent_dml_race_does_not_drop_an_operation(spark, warehouse):
+    """Two predicate-DML calls racing to the same epoch id: the loser must
+    re-derive (fresh epoch AND fresh batch), not be silently SKIPPED by the
+    winner's advanced watermark."""
+    from etl_geo_dem_spark.plans.merge import update_where
+
+    table = _mk_table(spark, warehouse, "dmlrace")
+    ch = generate_changes(spark, 800, n_conv=20, n_epochs=1)
+    replay(table, ch)
+
+    real_commit = table.commit
+    state = {"interfered": False}
+
+    def racing_commit(*args, **kwargs):
+        if not state["interfered"]:
+            state["interfered"] = True
+            # a concurrent DML wins the race for epoch 0 on the dml stream
+            table.commit = real_commit
+            update_where(table, F.col("role") == "user", {"tool": F.lit("A")})
+            table.commit = racing_commit
+        return real_commit(*args, **kwargs)
+
+    table.commit = racing_commit
+    try:
+        m = update_where(table, F.col("role") == "assistant", {"tool": F.lit("B")})
+    finally:
+        table.commit = real_commit
+
+    assert m["status"] == "committed"
+    # BOTH operations took effect
+    a = table.read_public().filter(F.col("role") == "user")
+    b = table.read_public().filter(F.col("role") == "assistant")
+    if a.count():
+        assert a.filter(F.col("tool") != "A").count() == 0
+    if b.count():
+        assert b.filter(F.col("tool") != "B").count() == 0
+    # two distinct dml-stream epochs committed
+    assert table.last_stream_epoch("dml") == 1
