@@ -166,22 +166,28 @@ def bench_replay(spark, n_events: int, n_epochs: int, repeats: int = 3) -> dict:
     }
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """Per-query best-of-k plus the full per-run spread (k from
+    SPARK_GRAFT_QUERY_REPEATS, default 3): sub-second queries vary 30-50%
+    run-to-run inside one JVM, so a single sample can masquerade as a
+    regression — the spread makes noise-band vs real-change decidable from
+    the bench output alone."""
     from etl_geo_dem_spark.queries import REGISTRY
 
-    timings = {}
+    k = int(os.environ.get("SPARK_GRAFT_QUERY_REPEATS", "3"))
+    timings, spread = {}, {}
     for name in HEADLINE_QUERIES:
         q = REGISTRY[name]
-        best = None
-        for _ in range(2):  # best-of-2: the first run pays per-plan JIT
+        runs = []
+        for _ in range(k):  # run 1 pays per-plan JIT; best-of-k ≈ steady state
             t0 = time.time()
             # noop sink: executes the full plan (no column pruning shortcut a
             # count() would allow), collects nothing
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-    return timings
+            runs.append(round(time.time() - t0, 3))
+        timings[name] = min(runs)
+        spread[name] = runs
+    return timings, spread
 
 
 def main():
@@ -212,9 +218,9 @@ def main():
         spark, n_events, n_epochs,
         repeats=int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", 3)),
     )
-    queries = {}
+    queries, query_spread = {}, {}
     if os.environ.get("SPARK_GRAFT_SKIP_QUERIES") != "1":
-        queries = bench_queries(spark, sf_dir)
+        queries, query_spread = bench_queries(spark, sf_dir)
     queries = {"cdc_replay": replay["replay_sec"], **queries}
 
     sf = sf_dir.rstrip("/").split("sf")[-1]
@@ -224,6 +230,7 @@ def main():
         "unit": "events/sec",
         "replay": replay,
         "queries": queries,
+        "query_spread": query_spread,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "cpus": int(cpus),
         "n_events": n_events,

@@ -18,6 +18,15 @@ exactly as in streaming/ingest.py.
 
 Reference analog: heterogeneous per-source inputs normalized to one key scheme
 before load (`scripts/settings.py:80-81`; `pipeline_load_localPG.py:26-56`).
+
+Test coverage honesty: no Kafka broker or connector jar ships in this
+container, so ``kafka_stream`` itself is exercised only down to its
+clear-error path. What IS tested end-to-end is everything this module adds:
+``from_kafka_debezium`` runs against batch-synthesized Kafka-shaped frames
+(envelope parsing, tombstone/poison dropping, lineage columns) AND against a
+live ``readStream.format("rate")`` stream mapped to the Kafka shape
+(`tests/test_round4.py`), proving the column path works under a real
+streaming micro-batch plan, not just batch.
 """
 
 from __future__ import annotations

@@ -55,8 +55,11 @@ def start_cdc_ingest(
 
     ``dedup_watermark`` (e.g. ``"30 minutes"``) enables a stateful
     exact-duplicate pre-filter — ``dropDuplicatesWithinWatermark`` on the full
-    event identity ``(conv_id, turn_idx, ts, lsn)`` — that drops re-delivered
-    events across micro-batches BEFORE they reach the MERGE shuffle. Purely an
+    event identity, DERIVED FROM THE TABLE'S OWN METADATA (``key_cols +
+    order_cols``, with the event-time watermark on the first order column) so
+    a table created with non-default keys streams correctly — that drops
+    re-delivered events across micro-batches BEFORE they reach the MERGE
+    shuffle. Purely an
     optimization for heavily duplicate-delivering sources (a WAL tail that
     re-reads segments after reconnects): the LWW MERGE is already idempotent,
     so final state is identical either way; what changes is shuffle volume.
@@ -76,9 +79,19 @@ def start_cdc_ingest(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(source_dir)
     if dedup_watermark:
-        stream = stream.withWatermark("ts", dedup_watermark).dropDuplicatesWithinWatermark(
-            ["conv_id", "turn_idx", "ts", "lsn"]
+        # event identity from TABLE metadata, not hardcoded column names —
+        # the stateful dedup must key on whatever this table's merge keys on
+        meta = table.snapshot_meta()
+        ident = list(
+            dict.fromkeys(
+                meta.get("key_cols", ["conv_id", "turn_idx"])
+                + meta.get("order_cols", ["ts", "lsn"])
+            )
         )
+        event_time = meta.get("order_cols", ["ts", "lsn"])[0]
+        stream = stream.withWatermark(
+            event_time, dedup_watermark
+        ).dropDuplicatesWithinWatermark(ident)
 
     def sink(batch_df, batch_id: int):
         apply_changes(
@@ -94,18 +107,32 @@ def start_cdc_ingest(
     return writer.start()
 
 
-def windowed_change_rates(stream_df, window: str = "10 minutes", slide: str | None = None):
+def windowed_change_rates(
+    stream_df,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str | None = None,
+    time_col: str = "ts",
+    key: str = "conv_id",
+    order_col: str = "lsn",
+):
     """Watermarked windowed per-key change rates — the live metrics feed
     (reference analog: progress counters with shared state + lock,
     `pipeline_download_WMS_canada.py:59-90`, T7). Late events beyond the
     watermark are dropped from the aggregation, not from the table (the MERGE
-    path above handles them by LWW)."""
-    win = F.window("ts", window, slide) if slide else F.window("ts", window)
+    path above handles them by LWW).
+
+    ``watermark`` defaults to the window length (state bounded to ~2 windows;
+    pass a longer horizon to admit later events, matching the table's
+    out-of-orderness budget) — it is never hardcoded."""
+    win = (
+        F.window(time_col, window, slide) if slide else F.window(time_col, window)
+    )
     return (
-        stream_df.withWatermark("ts", "30 minutes")
-        .groupBy(win.alias("win"), "conv_id")
+        stream_df.withWatermark(time_col, watermark or window)
+        .groupBy(win.alias("win"), key)
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.max("lsn").alias("max_lsn"),
+            F.max(order_col).alias("max_lsn"),
         )
     )

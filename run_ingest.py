@@ -105,7 +105,7 @@ def main(argv=None):
             fail_on_violation=args.fail_on_violation,
         )
         q.awaitTermination()
-        sid_watermarks = t.snapshot().get("stream_watermarks", {})
+        sid_watermarks = t.snapshot_meta().get("stream_watermarks", {})
         print(
             json.dumps(
                 {

@@ -15,6 +15,8 @@ Subcommands:
     compact [--buckets ...]     fold deltas / small files (all or planned set)
             [--cluster-by ...]  re-cluster rolled files (e.g. ts) for range pruning
     vacuum [--keep N]           reclaim files outside the retention window
+    expire-snapshots [--keep N] expire snapshot/manifest METADATA past the
+                                window (vacuums first; tagged versions kept)
     expire-tombstones --below-lsn L
     rebucket --n N              bucket-count evolution (atomic spec change)
     rollback --version V        re-point the table at snapshot V
@@ -45,9 +47,9 @@ def _emit(obj) -> None:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="run_maintenance")
     p.add_argument("cmd", choices=[
-        "history", "files", "plan", "compact", "vacuum", "expire-tombstones",
-        "rebucket", "rollback", "tag", "untag", "tags", "sync", "export",
-        "changes", "delete-where", "update-where",
+        "history", "files", "plan", "compact", "vacuum", "expire-snapshots",
+        "expire-tombstones", "rebucket", "rollback", "tag", "untag", "tags",
+        "sync", "export", "changes", "delete-where", "update-where",
     ])
     p.add_argument("--table", required=True)
     p.add_argument("--master", default=None)
@@ -97,6 +99,8 @@ def main(argv=None) -> int:
     elif a.cmd == "vacuum":
         removed = t.vacuum(keep_versions=a.keep)
         _emit({"removed_files": len(removed)})
+    elif a.cmd == "expire-snapshots":
+        _emit(t.expire_snapshots(keep_versions=a.keep))
     elif a.cmd == "expire-tombstones":
         if a.below_lsn is None:
             p.error("--below-lsn required")

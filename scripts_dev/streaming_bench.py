@@ -47,7 +47,7 @@ def run_once(spark, src: str, n_events: int, mfpt: int) -> dict:
             # stream commits advance the per-stream watermark, not the global
             # batch epoch — count micro-batches from the stream's own watermark
             "epochs_committed": max(
-                table.snapshot().get("stream_watermarks", {}).values(), default=-1
+                table.snapshot_meta().get("stream_watermarks", {}).values(), default=-1
             )
             + 1,
         }

@@ -175,7 +175,7 @@ def test_concurrent_apply_and_compact_both_commit(spark, warehouse, monkeypatch)
     real_commit = LakeTable.commit
     fired = {"done": False}
 
-    def racing_commit(self, files, summary, **kw):
+    def racing_commit(self, files=None, summary=None, **kw):
         if not fired["done"] and summary.get("operation") == "merge":
             fired["done"] = True
             interloper.compact()  # commits first → our expected_parent is stale
@@ -211,7 +211,7 @@ def test_compact_retries_after_conflicting_merge(spark, warehouse, monkeypatch):
     real_commit = LakeTable.commit
     fired = {"done": False}
 
-    def racing_commit(self, files, summary, **kw):
+    def racing_commit(self, files=None, summary=None, **kw):
         if not fired["done"] and summary.get("operation") == "compact":
             fired["done"] = True
             apply_changes(interloper, batches[1], 1, cfg=EngineConfig(merge_mode="mor"))
