@@ -16,7 +16,10 @@ Environment knobs:
                               tail reads, it doesn't synthesize); per-epoch
                               phase timings are within noise of the default
                               expression-generator source
-    SPARK_GRAFT_WARMUP_RUNS   untimed warmup replays      (default 1)
+    SPARK_GRAFT_WARMUP_RUNS   untimed warmup replays      (default 2: measured
+                              run-to-run ramp [803k, 1.29M, 1.92M, 1.90M,
+                              1.88M ev/s] shows steady state needs ~3 same-JVM
+                              replays — two warmups put every TIMED run there)
 
 The generated change stream is a pure function of (id, seed): identical content
 at any parallelism level, which is what makes the two-parallelism scaling
@@ -68,7 +71,7 @@ def _warmup(spark, n_events: int, n_epochs: int) -> None:
     classes and parquet writers (measured: 52 s → 8.6 s for identical work in
     one JVM). Steady-state throughput is what a long-running ingest job sees —
     warm first, then time, and say so (BENCH/BASELINE.md)."""
-    for _ in range(int(os.environ.get("SPARK_GRAFT_WARMUP_RUNS", "1"))):
+    for _ in range(int(os.environ.get("SPARK_GRAFT_WARMUP_RUNS", "2"))):
         wh = tempfile.mkdtemp(prefix="bench_warm_")
         try:
             table = LakeTable.create(spark, os.path.join(wh, "t"), STATE_SCHEMA, n_buckets=32)

@@ -310,9 +310,18 @@ class LakeTable:
     # ------------------------------------------------------------- snapshots
     def _parse_snapshot_file(self, path: str) -> dict[str, Any]:
         """THE single place snapshot JSONs are parsed (tests count calls here
-        to assert the one-parse-per-commit property)."""
+        to assert the one-parse-per-commit property). Normalizes legacy
+        pre-manifest-tier snapshots (inline "files") to one INLINE pseudo-ref
+        HERE so every caller — snapshot_meta, the roll-forward probe,
+        history — sees the same shape; commit() migrates inline refs to real
+        sidecars on the next write. An engine upgrade must never read an old
+        table as empty."""
         with open(path) as f:
-            return json.load(f)
+            meta = json.load(f)
+        if "manifests" not in meta:
+            files = meta.pop("files", [])
+            meta["manifests"] = [self._inline_ref(files)] if files else []
+        return meta
 
     def _quarantine_snapshot(self, path: str) -> None:
         """Move a torn/unreadable ``v*.json`` (left by a pre-link-protocol
@@ -385,13 +394,6 @@ class LakeTable:
                 f"snapshot v{v} does not exist at {self.path} — expired by "
                 "expire_snapshots(), vacuumed, or never committed"
             ) from None
-        if "manifests" not in meta:
-            # pre-manifest-tier snapshot (inline "files"): normalize to one
-            # INLINE pseudo-ref so every reader/carrier sees the same shape;
-            # commit() migrates inline refs to real sidecars on the next write
-            # — an engine upgrade must never read an old table as empty.
-            files = meta.pop("files", [])
-            meta["manifests"] = [self._inline_ref(files)] if files else []
         self._meta_cache_put(v, meta)
         return meta
 
