@@ -201,6 +201,27 @@ def prune_files(
     return out
 
 
+def physical_schema(
+    schema: T.StructType, mapping: dict[str, str]
+) -> T.StructType:
+    """LOGICAL table schema → the PHYSICAL schema parquet files store.
+
+    ``mapping`` is the snapshot's sparse ``column_mapping`` {logical:
+    physical} — the engine's stand-in for Iceberg field ids: a column's
+    physical name is assigned once at birth and NEVER changes, so RENAME is a
+    metadata-only mapping edit (files untouched) and re-ADDING a dropped name
+    allocates a fresh physical (old bytes can never resurrect). Columns
+    absent from the mapping have physical == logical."""
+    if not mapping:
+        return schema
+    return T.StructType(
+        [
+            T.StructField(mapping.get(f.name, f.name), f.dataType, f.nullable)
+            for f in schema.fields
+        ]
+    )
+
+
 def carry_excluding(
     manifests: list[dict[str, Any]], buckets: list[int] | set[int]
 ) -> list[dict[str, Any]]:
@@ -633,6 +654,24 @@ class LakeTable:
         )
 
     # ------------------------------------------------------------------ read
+    def _read_parquet(
+        self, snap: dict[str, Any], schema: T.StructType, paths: list[str]
+    ) -> DataFrame:
+        """Scan data files under the snapshot's PHYSICAL column names and
+        project back to the LOGICAL schema (a zero-cost alias node Catalyst
+        folds into the scan). With an empty mapping this is exactly the plain
+        schema'd read."""
+        mapping = snap.get("column_mapping") or {}
+        if not any(f.name in mapping for f in schema.fields):
+            return self.spark.read.schema(schema).parquet(*paths)
+        phys = physical_schema(schema, mapping)
+        return self.spark.read.schema(phys).parquet(*paths).select(
+            *[
+                F.col(mapping.get(f.name, f.name)).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+
     def read(
         self,
         version: int | str | None = None,
@@ -689,7 +728,7 @@ class LakeTable:
         elif not (resolve and any(f.get("kind", "base") == "delta" for f in files)):
             # explicit schema: files written before a schema evolution lack the new
             # columns; the parquet reader null-fills by name (union-by-name read).
-            df = self.spark.read.schema(schema).parquet(*[f["path"] for f in files])
+            df = self._read_parquet(snap, schema, [f["path"] for f in files])
         else:
             # delta-aware resolution pruning: a bucket with only base files is
             # already one-row-per-key (bases are written LWW-resolved; each
@@ -705,13 +744,13 @@ class LakeTable:
             hot = [f for f in files if f["bucket"] in delta_buckets]
             cold = [f for f in files if f["bucket"] not in delta_buckets]
             resolved = lww_winners_agg(
-                self.spark.read.schema(schema).parquet(*[f["path"] for f in hot]),
+                self._read_parquet(snap, schema, [f["path"] for f in hot]),
                 snap.get("key_cols", ["conv_id", "turn_idx"]),
                 snap.get("order_cols", ["ts", "lsn"]),
             )
             if cold:
-                resolved = self.spark.read.schema(schema).parquet(
-                    *[f["path"] for f in cold]
+                resolved = self._read_parquet(
+                    snap, schema, [f["path"] for f in cold]
                 ).unionByName(resolved)
             df = resolved
         if stats_filters:
@@ -746,6 +785,7 @@ class LakeTable:
         max_records_per_file: int | None = None,
         n_buckets: int | None = None,
         cluster_by: list[str] | None = None,
+        column_mapping: dict[str, str] | None = None,
     ) -> list[dict[str, Any]]:
         """Write ``df`` (must carry ``_bucket``) into a fresh commit dir.
 
@@ -760,6 +800,13 @@ class LakeTable:
         ``n_buckets`` overrides the snapshot's bucket count for the write —
         used only by :meth:`rebucket` (bucket-count evolution).
 
+        ``column_mapping`` overrides the snapshot's logical→physical name
+        mapping (used by :func:`plans.merge.apply_changes` when the SAME
+        commit introduces new columns whose physical names it just
+        allocated). ``df`` always arrives in LOGICAL names; files are written
+        under PHYSICAL names and the recorded per-file stats are keyed back
+        to LOGICAL names (what query-side ``stats_filters`` use).
+
         Rows are sorted by (bucket, key, order) within each write task: the
         FileFormatWriter needs a sort on the partition column anyway when the
         input is only hash-clustered, so extending that sort to the key columns
@@ -771,6 +818,25 @@ class LakeTable:
         """
         commit_dir = os.path.join(self.path, "data", uuid.uuid4().hex)
         snap = self.snapshot_meta()
+        logical_cols = list(df.columns)
+        mapping = (
+            dict(snap.get("column_mapping") or {})
+            if column_mapping is None
+            else dict(column_mapping)
+        )
+        eff = {
+            c: mapping[c]
+            for c in mapping
+            if c in logical_cols and mapping[c] != c
+        }
+        if eff:
+            # alias to PHYSICAL names (zero-cost projection) — files must
+            # store birth names so renames stay metadata-only
+            df = df.select(*[F.col(c).alias(eff.get(c, c)) for c in logical_cols])
+
+        def phys(c: str) -> str:
+            return eff.get(c, c)
+
         # cluster_by overrides the within-bucket sort (used by
         # compact(cluster_by=...)): files then roll in cluster-column order, so
         # their [min, max] ranges are disjoint in that column and the stats
@@ -779,16 +845,16 @@ class LakeTable:
         lead = cluster_by if cluster_by else []
         sort_cols = (
             [BUCKET_COL]
-            + [c for c in lead if c in df.columns]
+            + [phys(c) for c in lead if c in logical_cols]
             + [
-                c
+                phys(c)
                 for c in snap.get("key_cols", ["conv_id", "turn_idx"])
-                if c in df.columns and c not in lead
+                if c in logical_cols and c not in lead
             ]
             + [
-                c
+                phys(c)
                 for c in snap.get("order_cols", ["ts", "lsn"])
-                if c in df.columns and c not in lead
+                if c in logical_cols and c not in lead
             ]
         )
         # hash-repartition on bucket id over 4× slots: with exactly n_buckets
@@ -813,7 +879,7 @@ class LakeTable:
         )
         import pyarrow.parquet as pq
 
-        stats_cols = list(
+        stats_logical = list(
             dict.fromkeys(
                 c
                 for c in (
@@ -821,18 +887,24 @@ class LakeTable:
                     + snap.get("key_cols", ["conv_id", "turn_idx"])
                     + snap.get("order_cols", ["ts", "lsn"])
                 )
-                if c in df.columns
+                if c in logical_cols
             )
         )
+        stats_cols = [phys(c) for c in stats_logical]
+        logical_of = {phys(c): c for c in stats_logical}
+
         def describe(p: str) -> dict[str, Any]:
             meta = pq.ParquetFile(p).metadata
+            stats = _file_column_stats(meta, stats_cols)
             return {
                 "path": p,
                 "bucket": int(p.split(f"{BUCKET_COL}=")[1].split(os.sep)[0]),
                 "kind": kind,
                 "rows": meta.num_rows,
                 "bytes": os.path.getsize(p),
-                "stats": _file_column_stats(meta, stats_cols),
+                # stats keyed by LOGICAL name — what stats_filters/point_lookup
+                # compare against (files keep physical names internally)
+                "stats": {logical_of[k]: v for k, v in stats.items()},
             }
 
         # footer reads are independent I/O — thread them so the driver-side
@@ -856,6 +928,7 @@ class LakeTable:
         dropped_columns: list[str] | None = None,
         carry: list[dict[str, Any]] | None = None,
         new_files: list[dict[str, Any]] | None = None,
+        column_mapping: dict[str, str] | None = None,
     ) -> int:
         """Commit a new snapshot; returns the new version number.
 
@@ -924,6 +997,11 @@ class LakeTable:
                 dropped_columns
                 if dropped_columns is not None
                 else prev.get("dropped_columns", [])
+            ),
+            "column_mapping": (
+                column_mapping
+                if column_mapping is not None
+                else prev.get("column_mapping", {})
             ),
             "manifests": refs,
             "summary": summary,
@@ -1094,6 +1172,7 @@ class LakeTable:
         keep_tagged: bool = True,
         vacuum_first: bool = True,
         orphan_grace_sec: float = 3600.0,
+        older_than_ms: int | None = None,
     ) -> dict[str, Any]:
         """Expire snapshot METADATA outside the retention window (Iceberg
         ``expire_snapshots``): without this, ``_snapshots/`` grows one JSON per
@@ -1111,46 +1190,83 @@ class LakeTable:
         orphaned at worst — a re-run reclaims them; it never leaves a
         snapshot whose sidecars are gone).
 
+        ``older_than_ms`` additionally restricts expiry to snapshots CREATED
+        before that epoch-millisecond cutoff (Iceberg's ``older_than``):
+        ``expire_snapshots(keep_versions=1, older_than_ms=now - 7*86400_000)``
+        keeps a week of time travel regardless of commit rate.
+
         Time travel / CDF / ``rollback`` / ``clone`` past the horizon raise a
         documented "expired" error (the truncated-feed contract consumers must
-        handle by re-bootstrapping); within the horizon nothing changes."""
+        handle by re-bootstrapping); within the horizon nothing changes.
+
+        Concurrency: a ``rollback()`` committing DURING the sweep can
+        re-reference sidecars this call is about to delete (classic TOCTOU).
+        The sweep re-derives its keep-set until the table version is stable
+        across a full computation, which closes the window for every
+        interleave except a rollback landing inside the final unlink loop —
+        run expiry from the maintenance role, not concurrently with
+        rollbacks, for a hard guarantee (same operational rule as Iceberg's
+        expire_snapshots)."""
         if keep_versions < 1:
             raise ValueError("keep_versions must be >= 1")
         if vacuum_first:
             self.vacuum(keep_versions=keep_versions, orphan_grace_sec=orphan_grace_sec)
-        cur = self.current_version()
-        retained = set(range(max(1, cur - keep_versions + 1), cur + 1))
-        if keep_tagged:
-            retained |= {v for v in self.tags().values() if v <= cur}
-        existing = []
-        for p in glob.glob(os.path.join(self._snap_dir, "v*.json")):
-            try:
-                existing.append(int(os.path.basename(p)[1:-5]))
-            except ValueError:
-                continue
-        keep_sidecars: set[str] = set()
-        keep_manifests: set[str] = set()
-        for v in sorted(retained):
-            try:
-                meta = self.snapshot_meta(v)
-            except FileNotFoundError:
-                continue
-            keep_sidecars |= {r["path"] for r in meta.get("manifests", [])}
-            mn = self._epoch_manifest_name(meta)
-            if mn:
-                keep_manifests.add(mn)
+        for _ in range(4):
+            cur = self.current_version()
+            retained = set(range(max(1, cur - keep_versions + 1), cur + 1))
+            if keep_tagged:
+                retained |= {v for v in self.tags().values() if v <= cur}
+            existing = []
+            for p in glob.glob(os.path.join(self._snap_dir, "v*.json")):
+                try:
+                    existing.append(int(os.path.basename(p)[1:-5]))
+                except ValueError:
+                    continue
+            # decide the full removal set FIRST, then derive the keep-set from
+            # every SURVIVOR (retained window + tagged + too-young): a sidecar
+            # is deletable only when no surviving snapshot references it
+            to_remove: list[int] = []
+            for v in sorted(x for x in existing if x not in retained and x <= cur):
+                try:
+                    meta = self.snapshot_meta(v)
+                except FileNotFoundError:
+                    continue
+                except (ValueError, KeyError):
+                    self._quarantine_snapshot(self._snap_path(v))
+                    continue
+                if (
+                    older_than_ms is not None
+                    and meta.get("created_ms", 0) >= older_than_ms
+                ):
+                    continue  # young snapshot: outside the time horizon, keep
+                to_remove.append(v)
+            survivors = [v for v in existing if v <= cur and v not in to_remove]
+            keep_sidecars: set[str] = set()
+            keep_manifests: set[str] = set()
+            for v in sorted(survivors):
+                try:
+                    meta = self.snapshot_meta(v)
+                except (FileNotFoundError, ValueError, KeyError):
+                    continue
+                keep_sidecars |= {
+                    r["path"] for r in meta.get("manifests", []) if "path" in r
+                }
+                mn = self._epoch_manifest_name(meta)
+                if mn:
+                    keep_manifests.add(mn)
+            if self.current_version() == cur:
+                break  # removal/keep sets derived against a stable version
         removed_snaps: list[int] = []
         drop_sidecars: set[str] = set()
         drop_manifests: set[str] = set()
-        for v in sorted(x for x in existing if x not in retained and x <= cur):
+        for v in to_remove:
             try:
                 meta = self.snapshot_meta(v)
             except FileNotFoundError:
                 continue
-            except (ValueError, KeyError):
-                self._quarantine_snapshot(self._snap_path(v))
-                continue
-            drop_sidecars |= {r["path"] for r in meta.get("manifests", [])}
+            drop_sidecars |= {
+                r["path"] for r in meta.get("manifests", []) if "path" in r
+            }
             mn = self._epoch_manifest_name(meta)
             if mn:
                 drop_manifests.add(mn)
@@ -1181,7 +1297,7 @@ class LakeTable:
             "snapshots_removed": removed_snaps,
             "filelists_removed": len(removed_sidecars),
             "epoch_manifests_removed": len(removed_manifests),
-            "retained_versions": sorted(retained & (set(existing) | {cur})),
+            "retained_versions": sorted(set(survivors) - set(removed_snaps)),
         }
 
     def _retrying_commit(self, build_and_commit, retries: int):
@@ -1215,7 +1331,9 @@ class LakeTable:
             )
             key = self.key_col()
             n = self.n_buckets()
-            files = self.write_data_files(df.withColumn(BUCKET_COL, bucket_expr(key, n)))
+            files = self.write_data_files(
+                df.withColumn(BUCKET_COL, bucket_expr(key, n)), column_mapping={}
+            )
             return self.commit(
                 files,
                 summary={
@@ -1225,6 +1343,7 @@ class LakeTable:
                 },
                 expected_parent=base_version,
                 dropped_columns=[],  # full rewrite purges dropped columns physically
+                column_mapping={},  # rewrite re-bases physical = logical names
             )
 
         return self._retrying_commit(attempt, retries)
@@ -1250,7 +1369,9 @@ class LakeTable:
             key = self.key_col()
             n = self.n_buckets()
             files = self.write_data_files(
-                df.withColumn(BUCKET_COL, bucket_expr(key, n)), cluster_by=cluster_by
+                df.withColumn(BUCKET_COL, bucket_expr(key, n)),
+                cluster_by=cluster_by,
+                column_mapping={},
             )
             return self.commit(
                 files,
@@ -1262,6 +1383,7 @@ class LakeTable:
                 },
                 expected_parent=base_version,
                 dropped_columns=[],  # full rewrite purges dropped columns physically
+                column_mapping={},  # rewrite re-bases physical = logical names
             )
 
         return self._retrying_commit(attempt, retries)
@@ -1674,26 +1796,19 @@ class LakeTable:
         return max(min_buckets, min(n, max_buckets))
 
     def drop_column(self, name: str, retries: int = 2) -> int:
-        """METADATA-ONLY column drop (Iceberg drop-column semantics minus
-        field ids): the column leaves the schema in one commit; no data file
-        is rewritten — reads simply stop projecting it (column pruning means
-        the bytes are never even fetched). Key, order and internal columns
-        are refused.
+        """METADATA-ONLY column drop (Iceberg drop-column semantics): the
+        column leaves the schema in one commit; no data file is rewritten —
+        reads simply stop projecting it (column pruning means the bytes are
+        never even fetched). Key, order and internal columns are refused.
 
-        Ghost-data protection: the name goes on the snapshot's
-        ``dropped_columns`` tombstone list. Re-ADDING a same-named column
-        while old files still physically hold the bytes would resurrect
-        pre-drop values on read (name-based parquet resolution has no field
-        ids to disambiguate), so ``apply_changes`` REFUSES to evolve a
-        dropped name back in until a full rewrite (:meth:`compact` /
-        :meth:`rebucket`) has purged the bytes — those clear the tombstone
-        list.
-
-        RENAME is deliberately not offered: without field ids a rename is a
-        drop + re-add, and files from before the rename would null-fill the
-        new name — silently losing data on read. Express a rename as
-        ``update_where`` into a newly added column followed by
-        ``drop_column`` of the old one (explicitly a data rewrite)."""
+        Ghost-data protection: the column's PHYSICAL name goes on the
+        snapshot's ``dropped_columns`` tombstone list. Old files still hold
+        its bytes under that physical name, so re-ADDING the same LOGICAL
+        name later allocates a FRESH physical name (``apply_changes``
+        consults the tombstones — see ``column_mapping``) and pre-drop values
+        can never resurrect. A full rewrite (:meth:`compact` /
+        :meth:`rebucket`) physically purges the bytes and clears the
+        tombstone list."""
 
         def attempt() -> int:
             # everything derives from ONE snapshot read inside the CAS window:
@@ -1714,6 +1829,8 @@ class LakeTable:
             if name not in [f.name for f in schema.fields]:
                 raise KeyError(f"no column {name!r} in table schema")
             reduced = T.StructType([f for f in schema.fields if f.name != name])
+            mapping = dict(snap.get("column_mapping") or {})
+            physical = mapping.pop(name, name)
             return self.commit(
                 summary={
                     "operation": "drop_column",
@@ -1723,9 +1840,70 @@ class LakeTable:
                 schema=reduced,
                 expected_parent=base,
                 dropped_columns=sorted(
-                    set(snap.get("dropped_columns", [])) | {name}
+                    set(snap.get("dropped_columns", [])) | {physical}
                 ),
                 carry=list(snap.get("manifests", [])),
+                column_mapping=mapping,
+            )
+
+        return self._retrying_commit(attempt, retries)
+
+    def rename_column(self, old: str, new: str, retries: int = 2) -> int:
+        """METADATA-ONLY column rename (Iceberg rename semantics, built on
+        the logical→physical ``column_mapping`` instead of field ids): the
+        LOGICAL name changes in the schema, the PHYSICAL name in every data
+        file stays the column's birth name, and reads alias physical →
+        logical at scan time — no file rewritten, no data lost, files from
+        before AND after the rename resolve identically. Key, order and
+        internal columns are refused (the bucketing hash and LWW clock key on
+        them); renaming onto an existing logical name is refused.
+
+        Per-file STATS recorded before the rename are keyed by the old
+        logical name, so range pruning on the renamed column skips nothing
+        for pre-rename files (conservative — they are simply read); a
+        :meth:`compact` refreshes stats under the new name."""
+        if not new or not new.isidentifier():
+            raise ValueError(f"invalid column name {new!r}")
+
+        def attempt() -> int:
+            snap = self.snapshot_meta()
+            base = snap["version"]
+            protected = (
+                set(snap.get("key_cols", ["conv_id", "turn_idx"]))
+                | set(snap.get("order_cols", ["ts", "lsn"]))
+                | {snap.get("key_col", "conv_id"), "_deleted"}
+            )
+            if old in protected or new in protected:
+                raise ValueError(
+                    f"cannot rename key/order/internal column ({old!r} -> {new!r})"
+                )
+            schema = T.StructType.fromJson(snap["schema"])
+            names = [f.name for f in schema.fields]
+            if old not in names:
+                raise KeyError(f"no column {old!r} in table schema")
+            if new in names:
+                raise ValueError(f"column {new!r} already exists")
+            renamed = T.StructType(
+                [
+                    T.StructField(new, f.dataType, f.nullable)
+                    if f.name == old
+                    else f
+                    for f in schema.fields
+                ]
+            )
+            mapping = dict(snap.get("column_mapping") or {})
+            physical = mapping.pop(old, old)  # birth name rides along
+            mapping[new] = physical
+            return self.commit(
+                summary={
+                    "operation": "rename_column",
+                    "epoch_id": int(snap["summary"].get("epoch_id", -1)),
+                    "renamed": [old, new],
+                },
+                schema=renamed,
+                expected_parent=base,
+                carry=list(snap.get("manifests", [])),
+                column_mapping=mapping,
             )
 
         return self._retrying_commit(attempt, retries)
@@ -1820,6 +1998,7 @@ class LakeTable:
             files = self.write_data_files(
                 df.withColumn(BUCKET_COL, bucket_expr(key, new_n_buckets)),
                 n_buckets=new_n_buckets,
+                column_mapping={},
             )
             return self.commit(
                 files,
@@ -1832,6 +2011,7 @@ class LakeTable:
                 expected_parent=base_version,
                 n_buckets=new_n_buckets,
                 dropped_columns=[],  # full rewrite purges dropped columns physically
+                column_mapping={},  # rewrite re-bases physical = logical names
             )
 
         return self._retrying_commit(attempt, retries)
@@ -1876,6 +2056,7 @@ class LakeTable:
                 stream_watermarks=dict(target.get("stream_watermarks", {})),
                 n_buckets=int(target["n_buckets"]),
                 dropped_columns=list(target.get("dropped_columns", [])),
+                column_mapping=dict(target.get("column_mapping", {})),
             )
 
         return self._retrying_commit(attempt, retries)

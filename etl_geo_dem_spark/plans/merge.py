@@ -277,14 +277,29 @@ def _apply_changes_once(
             "across buckets. rebucket() after an explicit type migration "
             "instead."
         )
-    ghosts = set(new_cols) & set(snap.get("dropped_columns", []))
-    if ghosts:
-        raise SchemaEvolutionError(
-            f"column(s) {sorted(ghosts)} were previously DROPPED and old data "
-            "files still hold their bytes — re-adding the name now would "
-            "resurrect pre-drop values (no field ids in name-based parquet "
-            "resolution). compact() or rebucket() first to purge, then re-add."
-        )
+    # Physical-name allocation for NEW columns (the field-id stand-in): a new
+    # logical column defaults to physical == logical, UNLESS that physical is
+    # (a) tombstoned by a drop_column (old files still hold those bytes —
+    # projecting them would resurrect pre-drop values) or (b) already taken by
+    # another live column's physical (e.g. a renamed column's birth name). In
+    # either case a fresh suffixed physical is allocated, so re-adding a
+    # dropped name is SAFE: pre-drop rows read NULL, never ghost data.
+    parent_mapping = dict(snap.get("column_mapping") or {})
+    tombstoned = set(snap.get("dropped_columns", []))  # PHYSICAL names
+    current_physicals = {
+        parent_mapping.get(f.name, f.name) for f in state_schema.fields
+    }
+    new_mapping = dict(parent_mapping)
+    for c in new_cols:
+        p = c
+        n = 0
+        while p in tombstoned or p in current_physicals:
+            n += 1
+            suffix = f"__r{snap['version'] + 1}"
+            p = f"{c}{suffix}" if n == 1 else f"{c}{suffix}_{n}"
+        if p != c:
+            new_mapping[c] = p
+        current_physicals.add(p)
     # merge keys/ordering come from the table's own metadata (persisted at
     # create() and carried forward by every commit) — module defaults only
     # apply to pre-metadata snapshots.
@@ -332,7 +347,8 @@ def _apply_changes_once(
         # cost of the 1-JVM level).
         out = batch_state.observe(obs_out, F.count(F.lit(1)).alias("rows"))
         new_files = table.write_data_files(
-            out, kind="delta", max_records_per_file=cfg.target_file_rows
+            out, kind="delta", max_records_per_file=cfg.target_file_rows,
+            column_mapping=new_mapping,
         )
         # nothing rewritten: the parent's manifest refs carry over BY
         # REFERENCE — commit metadata is O(this epoch's files), flat as the
@@ -368,7 +384,8 @@ def _apply_changes_once(
         )
         merged = merged.observe(obs_out, F.count(F.lit(1)).alias("rows"))
         new_files = table.write_data_files(
-            merged, kind="base", max_records_per_file=cfg.target_file_rows
+            merged, kind="base", max_records_per_file=cfg.target_file_rows,
+            column_mapping=new_mapping,
         )
         # copy-on-write: the rewritten buckets leave the carried refs by
         # metadata exclusion — no file descriptor is re-serialized
@@ -409,6 +426,7 @@ def _apply_changes_once(
             if stream_id is None
             else {**snap.get("stream_watermarks", {}), stream_id: epoch_id}
         ),
+        column_mapping=new_mapping,
     )
 
     # bounded read amplification under merge-on-read: fold any bucket whose
@@ -535,6 +553,15 @@ def sync_from(
             "last_synced_version": from_v,
             **({"dropped_columns_mirrored": mirrored} if mirrored else {}),
         }
+    # Schema DDL replays BEFORE the data apply (and before the watermark
+    # advances): a crash mid-mirror re-runs the whole range idempotently on
+    # the next sync, so the replica can never end up with the watermark
+    # advanced but the DDL missing. RENAMES in particular must replay as
+    # renames — a metadata-only rename emits zero CDF rows, and treating it
+    # as drop+add would discard the replica's column data for every key the
+    # feed doesn't touch.
+    ddl_ops = _replay_schema_ops(dest, source, from_v, to_v)
+    mirrored = _mirror_schema_drops(dest, source, to_v)
     try:
         feed = source.table_changes(from_v, to_v)
     except FileNotFoundError as e:
@@ -564,22 +591,58 @@ def sync_from(
         extra_manifest={"sync_source": source.path, "sync_range": [from_v, to_v]},
         stream_id=sid,
     )
-    mirrored = _mirror_schema_drops(dest, source, to_v)
     if mirrored:
         manifest["dropped_columns_mirrored"] = mirrored
+    if ddl_ops:
+        manifest["schema_ops_replayed"] = ddl_ops
     manifest["synced_range"] = [from_v, to_v]
     return manifest
 
 
+def _replay_schema_ops(
+    dest: LakeTable, source: LakeTable, from_v: int, to_v: int
+) -> list[list[str]]:
+    """Replay the source's metadata-only schema DDL over the sync range
+    ``(from_v, to_v]`` onto the replica, in commit order: ``rename_column``
+    replays as a RENAME (the replica's column data survives — file-less
+    source commits emit zero CDF rows, so this is the only way the replica
+    can learn a rename) and ``drop_column`` as a drop. Idempotent: an op
+    whose precondition no longer holds (old name absent / new name present /
+    column gone) is skipped, so a crash mid-replay just re-runs."""
+    ops: list[list[str]] = []
+    for v in range(from_v + 1, to_v + 1):
+        try:
+            m = source.snapshot_meta(v)
+        except FileNotFoundError:
+            continue  # expired mid-range (CDF horizon enforcement is below)
+        s = m.get("summary") or {}
+        op = s.get("operation")
+        if op == "rename_column":
+            old, new = s.get("renamed", [None, None])
+            have = [f.name for f in dest.schema().fields]
+            if old in have and new not in have:
+                dest.rename_column(old, new)
+                ops.append(["rename", old, new])
+        elif op == "drop_column":
+            c = s.get("column")
+            have = [f.name for f in dest.schema().fields]
+            if c in have:
+                try:
+                    dest.drop_column(c)
+                    ops.append(["drop", c])
+                except ValueError:
+                    pass  # protected on the replica — leave it
+    return ops
+
+
 def _mirror_schema_drops(dest: LakeTable, source: LakeTable, to_v: int) -> list[str]:
-    """Schema reconciliation for :func:`sync_from`: a metadata-only
-    drop_column in the source emits ZERO CDF rows (identical file list), so
-    without this the replica keeps the column and its pre-drop values —
-    exactly the ghost-data divergence the drop tombstones exist to prevent,
-    reproduced downstream. Mirror the drop; the replica then also refuses a
-    re-add until ITS bytes are purged. Runs on EVERY sync call (including
-    up-to-date ones) so recovery after a crash between the watermark commit
-    and the mirror converges without new source commits."""
+    """Fallback schema reconciliation for :func:`sync_from`: after the DDL
+    replay, any replica column still absent from the source schema (e.g. a
+    drop whose snapshot already expired, or pre-round-4 crash states) is
+    dropped so the replica converges. Renamed columns never reach this sweep
+    — the replay above already aligned their names. Runs on EVERY sync call
+    (including up-to-date ones) so recovery converges without new source
+    commits."""
     dsnap = dest.snapshot_meta()
     protected = (
         set(dsnap.get("key_cols", KEY_COLS))

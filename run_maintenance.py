@@ -19,6 +19,7 @@ Subcommands:
                                 window (vacuums first; tagged versions kept)
     expire-tombstones --below-lsn L
     rebucket --n N              bucket-count evolution (atomic spec change)
+    rename --old A --new B      metadata-only column rename (name mapping)
     rollback --version V        re-point the table at snapshot V
     tag --name NAME [--version V] / untag --name NAME / tags
     sync --from SRC             incremental CDF replication SRC -> --table
@@ -48,8 +49,8 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="run_maintenance")
     p.add_argument("cmd", choices=[
         "history", "files", "plan", "compact", "vacuum", "expire-snapshots",
-        "expire-tombstones", "rebucket", "rollback", "tag", "untag", "tags",
-        "sync", "export", "changes", "delete-where", "update-where",
+        "expire-tombstones", "rebucket", "rename", "rollback", "tag", "untag",
+        "tags", "sync", "export", "changes", "delete-where", "update-where",
     ])
     p.add_argument("--table", required=True)
     p.add_argument("--master", default=None)
@@ -66,6 +67,8 @@ def main(argv=None) -> int:
     p.add_argument("--to-version", type=int, default=None)
     p.add_argument("--min-files", type=int, default=4)
     p.add_argument("--max-buckets", type=int, default=None)
+    p.add_argument("--old", help="current column name for rename")
+    p.add_argument("--new", dest="newname", help="new column name for rename")
     p.add_argument("--where", help="SQL predicate for delete-where/update-where")
     p.add_argument("--set", dest="assignments", nargs="*", default=None,
                    metavar="COL=SQL_EXPR", help="assignments for update-where")
@@ -109,6 +112,10 @@ def main(argv=None) -> int:
         if not a.n:
             p.error("--n required")
         _emit({"committed_version": t.rebucket(a.n)})
+    elif a.cmd == "rename":
+        if not a.old or not a.newname:
+            p.error("--old and --new required")
+        _emit({"committed_version": t.rename_column(a.old, a.newname)})
     elif a.cmd == "rollback":
         if a.version is None:
             p.error("--version required")

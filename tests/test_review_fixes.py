@@ -218,7 +218,12 @@ def test_sync_from_mirrors_source_column_drop(spark, warehouse):
 
     src.drop_column("tool_args")
     m = sync_from(dst, src)
-    assert m.get("dropped_columns_mirrored") == ["tool_args"]
+    # round 4: the drop arrives via the exact DDL replay (commit-ordered),
+    # with the sweep as fallback — either way the replica converges
+    assert (
+        ["drop", "tool_args"] in m.get("schema_ops_replayed", [])
+        or m.get("dropped_columns_mirrored") == ["tool_args"]
+    )
     assert "tool_args" not in [f.name for f in dst.schema().fields]
     assert dst.snapshot()["dropped_columns"] == ["tool_args"]
 

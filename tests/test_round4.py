@@ -395,9 +395,12 @@ def test_sync_from_mirrors_drop_on_up_to_date_path(spark, warehouse, monkeypatch
     sync_from(dest, src, cfg)
     assert "extra" in [f.name for f in dest.schema().fields]
     src.drop_column("extra")
-    # simulate a crash AFTER the watermark-advancing commit, BEFORE the mirror
+    # simulate a pre-round-4 sync that advanced the watermark WITHOUT
+    # mirroring the DDL (crash after the commit, or an older engine): disable
+    # both the exact DDL replay and the fallback sweep for one sync
     import etl_geo_dem_spark.plans.merge as mergemod
 
+    monkeypatch.setattr(mergemod, "_replay_schema_ops", lambda *a, **k: [])
     monkeypatch.setattr(mergemod, "_mirror_schema_drops", lambda *a, **k: [])
     sync_from(dest, src, cfg)  # advances watermark, "crashes" before mirroring
     monkeypatch.undo()
@@ -406,6 +409,114 @@ def test_sync_from_mirrors_drop_on_up_to_date_path(spark, warehouse, monkeypatch
     assert m["status"] == "up_to_date"
     assert m.get("dropped_columns_mirrored") == ["extra"]
     assert "extra" not in [f.name for f in dest.schema().fields]
+
+
+# ------------------------------------------- column rename via name mapping
+
+def _table_with_score(spark, warehouse, name, cfg):
+    t = LakeTable.create(spark, os.path.join(warehouse, name), STATE_SCHEMA, n_buckets=4)
+    ts = datetime.datetime(2026, 1, 1)
+    sch = T.StructType(
+        list(CHANGE_SCHEMA.fields) + [T.StructField("score", T.DoubleType(), True)]
+    )
+    rows = [("I", f"c{i}", i, "user", f"t{i}", None, ts, i, 0, float(i)) for i in range(20)]
+    apply_changes(t, spark.createDataFrame(rows, sch), 0, cfg)
+    return t, sch, ts
+
+
+def test_rename_column_metadata_only_data_survives(spark, warehouse):
+    cfg = EngineConfig(merge_mode="mor", n_buckets=4)
+    t, sch, ts = _table_with_score(spark, warehouse, "ren", cfg)
+    files_before = [f["path"] for f in t.snapshot()["files"]]
+    t.rename_column("score", "quality")
+    # metadata-only: same files, new logical name, values intact
+    assert [f["path"] for f in t.snapshot()["files"]] == files_before
+    got = {r["turn_idx"]: r["quality"] for r in t.read_public().collect()}
+    assert got[7] == 7.0 and len(got) == 20
+    assert t.snapshot_meta()["column_mapping"] == {"quality": "score"}
+    # new data arrives under the NEW name; files mix pre/post-rename physicals
+    sch2 = T.StructType(
+        list(CHANGE_SCHEMA.fields) + [T.StructField("quality", T.DoubleType(), True)]
+    )
+    later = ts + datetime.timedelta(hours=1)
+    rows2 = [("U", f"c{i}", i, "user", f"n{i}", None, later, 100 + i, 1, 50.0 + i)
+             for i in range(5)]
+    apply_changes(t, spark.createDataFrame(rows2, sch2), 1, cfg)
+    got2 = {r["turn_idx"]: r["quality"] for r in t.read_public().collect()}
+    assert got2[0] == 50.0 and got2[10] == 10.0
+    # key-path pruning unaffected (keys can't be renamed)
+    assert t.point_lookup("c3").count() == 1
+    # refusals
+    with pytest.raises(ValueError, match="key/order"):
+        t.rename_column("conv_id", "cid")
+    with pytest.raises(ValueError, match="already exists"):
+        t.rename_column("quality", "text")
+    with pytest.raises(KeyError):
+        t.rename_column("nope", "x")
+    # rollback across the rename restores the old name AND mapping
+    t.rollback(2)  # version right before the rename... v1=create, v2=merge
+    assert "score" in [f.name for f in t.schema().fields]
+    assert t.snapshot_meta().get("column_mapping") == {}
+
+
+def test_readd_after_drop_gets_fresh_physical_no_ghosts(spark, warehouse):
+    cfg = EngineConfig(merge_mode="mor", n_buckets=4)
+    t, sch, ts = _table_with_score(spark, warehouse, "ghost", cfg)
+    t.rename_column("score", "quality")
+    t.drop_column("quality")
+    # tombstone records the BIRTH (physical) name
+    assert t.snapshot_meta()["dropped_columns"] == ["score"]
+    sch2 = T.StructType(
+        list(CHANGE_SCHEMA.fields) + [T.StructField("quality", T.DoubleType(), True)]
+    )
+    later = ts + datetime.timedelta(hours=2)
+    rows3 = [("U", f"c{i}", i, "user", f"z{i}", None, later, 200 + i, 2, 999.0)
+             for i in (0, 1)]
+    apply_changes(t, spark.createDataFrame(rows3, sch2), 2, cfg)
+    vals = {r["turn_idx"]: r["quality"] for r in t.read_public().collect()}
+    assert vals[0] == 999.0
+    assert vals[5] is None  # pre-drop value did NOT resurrect
+    # full rewrite purges bytes, clears tombstones, re-bases mapping
+    t.compact()
+    meta = t.snapshot_meta()
+    assert meta.get("dropped_columns") == [] and meta.get("column_mapping") == {}
+    vals2 = {r["turn_idx"]: r["quality"] for r in t.read_public().collect()}
+    assert vals2[0] == 999.0 and vals2[5] is None
+
+
+def test_sync_from_replays_rename_without_data_loss(spark, warehouse):
+    cfg = EngineConfig(merge_mode="mor", n_buckets=4)
+    src, sch, ts = _table_with_score(spark, warehouse, "rsrc", cfg)
+    dest = LakeTable.create(spark, os.path.join(warehouse, "rdst"), STATE_SCHEMA, n_buckets=4)
+    sync_from(dest, src, cfg)
+    assert "score" in [f.name for f in dest.schema().fields]
+    src.rename_column("score", "quality")
+    m = sync_from(dest, src, cfg)  # rename emits ZERO CDF rows
+    assert ["rename", "score", "quality"] in m.get("schema_ops_replayed", [])
+    cols = [f.name for f in dest.schema().fields]
+    assert "quality" in cols and "score" not in cols
+    # the replica's column DATA survived (drop+re-add would have nulled it)
+    dq = {r["turn_idx"]: r["quality"] for r in dest.read_public().collect()}
+    assert dq[7] == 7.0
+
+
+def test_expire_snapshots_older_than_keeps_young_history(spark, warehouse):
+    t, _ = _mk_table(spark, warehouse, name="texp", n_epochs=4)
+    hist_before = len(t.history())
+    # cutoff in the past: nothing is old enough to expire
+    res = t.expire_snapshots(
+        keep_versions=1, older_than_ms=int(time.time() * 1000) - 3600_000,
+        orphan_grace_sec=0.0,
+    )
+    assert res["snapshots_removed"] == []
+    assert len(t.history()) == hist_before
+    # cutoff in the future: behaves like pure keep_versions retention
+    res2 = t.expire_snapshots(
+        keep_versions=2, older_than_ms=int(time.time() * 1000) + 3600_000,
+        orphan_grace_sec=0.0,
+    )
+    assert res2["snapshots_removed"]
+    assert len(t.history()) <= 2
 
 
 # --------------------------------------------- streaming with non-default keys

@@ -599,8 +599,6 @@ def test_expectations_counted_and_gating(spark, warehouse):
 
 
 def test_drop_column_metadata_only_and_ghost_guard(spark, warehouse):
-    from etl_geo_dem_spark.plans.merge import SchemaEvolutionError
-
     table = _mk_table(spark, warehouse, "dropc")
     ch = generate_changes(spark, 1000, n_conv=25, n_epochs=2, evolve_from_epoch=1)
     replay(table, ch)  # epoch 1 adds tool_args
@@ -613,22 +611,30 @@ def test_drop_column_metadata_only_and_ghost_guard(spark, warehouse):
     # metadata-only: the exact same data files are referenced
     assert [f["path"] for f in table.snapshot()["files"]] == files_before
 
-    # re-adding the dropped name is refused while old bytes remain
+    # round 4: re-adding the dropped name is ALLOWED — the column_mapping
+    # allocates a fresh physical name, so old files' bytes (still on disk
+    # under the tombstoned physical) can never resurrect: pre-drop rows read
+    # NULL, only the re-added epoch's rows carry values
     readd = (
         ch.filter(F.col("epoch") == 1)
         .withColumn("epoch", F.lit(2).cast("long"))
     )
-    with pytest.raises(SchemaEvolutionError, match="DROPPED"):
-        apply_changes(table, readd, 2)
-
-    # a full rewrite purges the bytes and clears the tombstone -> re-add works
-    table.compact()
-    assert table.snapshot().get("dropped_columns") == []
     m = apply_changes(table, readd, 2)
     assert m["schema_evolved"] == ["tool_args"]
-    # resurrection check: only epoch-2 re-added rows carry values
+    mapping = table.snapshot_meta().get("column_mapping", {})
+    assert mapping.get("tool_args", "tool_args") != "tool_args"  # fresh physical
     with_vals = table.read_public().filter(F.col("tool_args").isNotNull()).count()
-    assert 0 < with_vals <= readd.count()
+    assert 0 < with_vals <= readd.count()  # no ghost resurrection
+
+    # a full rewrite purges the old bytes, clears tombstones AND re-bases the
+    # mapping to identity — values survive the rewrite
+    table.compact()
+    assert table.snapshot().get("dropped_columns") == []
+    assert table.snapshot_meta().get("column_mapping") == {}
+    assert (
+        table.read_public().filter(F.col("tool_args").isNotNull()).count()
+        == with_vals
+    )
 
     with pytest.raises(ValueError, match="key/order"):
         table.drop_column("turn_idx")
