@@ -1491,6 +1491,46 @@ class LakeTable:
         return dest
 
     # ------------------------------------------------------- metadata tables
+    def table_metrics(self) -> dict[str, Any]:
+        """One-call operational health summary, metadata-only (no data I/O):
+        live file/row/byte totals, delta-chain pressure, bucket skew, stream
+        watermarks, metadata-tier sizes. The numbers an operator checks
+        before deciding on compact()/rebucket()/expire_snapshots() — the
+        engine analog of the reference's progress/ETA reporting
+        (`pipeline_download_utils_soils.py:15-50`, T7)."""
+        meta = self.snapshot_meta()
+        files = self._files_of(meta)
+        per_bucket: dict[int, int] = {}
+        delta_files = 0
+        for f in files:
+            per_bucket[f["bucket"]] = per_bucket.get(f["bucket"], 0) + f["bytes"]
+            if f.get("kind", "base") == "delta":
+                delta_files += 1
+        sizes = sorted(per_bucket.values())
+        n_snaps = len(glob.glob(os.path.join(self._snap_dir, "v*.json")))
+        n_sidecars = len(glob.glob(os.path.join(self._filelists_dir, "fl-*.json")))
+        return {
+            "version": meta["version"],
+            "last_epoch": int(meta["summary"].get("epoch_id", -1)),
+            "stream_watermarks": dict(meta.get("stream_watermarks", {})),
+            "n_buckets": int(meta["n_buckets"]),
+            "n_files": len(files),
+            "n_delta_files": delta_files,
+            "total_rows": sum(f["rows"] for f in files),
+            "total_bytes": sum(f["bytes"] for f in files),
+            "bucket_bytes_max": sizes[-1] if sizes else 0,
+            "bucket_bytes_median": sizes[len(sizes) // 2] if sizes else 0,
+            "buckets_with_deltas": len(self.delta_counts()),
+            "compaction_candidates": len(self.plan_compaction()),
+            "suggested_n_buckets": self.suggest_n_buckets(),
+            "n_snapshots_on_disk": n_snaps,
+            "n_filelist_sidecars": n_sidecars,
+            "n_manifest_refs": len(meta.get("manifests", [])),
+            "dropped_column_tombstones": list(meta.get("dropped_columns", [])),
+            "column_mapping": dict(meta.get("column_mapping", {})),
+            "n_tags": len(self.tags()),
+        }
+
     def history_df(self) -> DataFrame:
         """Snapshot history as a DataFrame (Iceberg ``table.history`` /
         ``snapshots`` metadata-table analog): one row per committed snapshot

@@ -87,6 +87,66 @@ def from_kafka_debezium(
     )
 
 
+def start_kafka_cdc_ingest(
+    spark: SparkSession,
+    table,
+    topic: str,
+    checkpoint_dir: str,
+    bootstrap_servers: str | None = None,
+    cfg=None,
+    starting_offsets: str = "earliest",
+    keep_lineage: bool = False,
+    expectations: dict | None = None,
+    fail_on_violation: bool = False,
+    kafka_df: DataFrame | None = None,
+    stream_id: str | None = None,
+    available_now: bool = False,
+):
+    """End-to-end Kafka CDC tail: Kafka topic → Debezium decode → exactly-once
+    MERGE into ``table`` per micro-batch (the Kafka twin of
+    ``streaming/ingest.start_cdc_ingest``'s file tail).
+
+    Exactly-once story is identical: Spark's checkpoint re-delivers stable
+    batch ids; the table's per-stream watermark (keyed
+    ``kafka:<topic>:<checkpoint>``) makes re-delivery a metadata no-op, and
+    LWW makes even a re-keyed replay convergent. Offsets stay lineage
+    (``keep_lineage``), never the ordering key — the envelope's (ts, lsn) is.
+
+    ``kafka_df`` injects an already-built Kafka-SHAPED stream instead of a
+    real broker connection — how the tests drive this path end-to-end with a
+    ``rate-micro-batch`` source in this broker-less container, and how a
+    deployment with its own source wiring (e.g. EventHubs' Kafka surface)
+    reuses the rest of the pipeline."""
+    import os
+
+    from etl_geo_dem_spark.config import EngineConfig
+    from etl_geo_dem_spark.plans.merge import apply_changes
+
+    cfg = cfg or EngineConfig()
+    if kafka_df is None and bootstrap_servers is None:
+        raise ValueError("either bootstrap_servers or kafka_df is required")
+    src = (
+        kafka_df
+        if kafka_df is not None
+        else kafka_stream(spark, bootstrap_servers, topic, starting_offsets)
+    )
+    parsed = from_kafka_debezium(src, keep_lineage=keep_lineage)
+    sid = stream_id or f"kafka:{topic}:{os.path.realpath(checkpoint_dir)}"
+
+    def sink(batch_df, batch_id: int):
+        apply_changes(
+            table, batch_df, epoch_id=batch_id, cfg=cfg, stream_id=sid,
+            expectations=expectations, fail_on_violation=fail_on_violation,
+        )
+
+    writer = parsed.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,

@@ -10,6 +10,8 @@ concurrency retries, so maintenance can run concurrently with ingest.
 
 Subcommands:
     history                     snapshot log (version, op, epoch, files, rows)
+    metrics                     one-call metadata health summary (skew, deltas,
+                                watermarks, metadata-tier sizes)
     files                       file inventory incl. per-file min/max stats
     plan                        metadata-only compaction plan (worst-first)
     compact [--buckets ...]     fold deltas / small files (all or planned set)
@@ -48,7 +50,7 @@ def _emit(obj) -> None:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="run_maintenance")
     p.add_argument("cmd", choices=[
-        "history", "files", "plan", "compact", "vacuum", "expire-snapshots",
+        "history", "metrics", "files", "plan", "compact", "vacuum", "expire-snapshots",
         "expire-tombstones", "rebucket", "rename", "rollback", "tag", "untag",
         "tags", "sync", "export", "changes", "delete-where", "update-where",
     ])
@@ -84,6 +86,8 @@ def main(argv=None) -> int:
                 "epoch_id": s["summary"].get("epoch_id"), "n_files": len(s["files"]),
                 "rows": sum(f["rows"] for f in s["files"]),
             })
+    elif a.cmd == "metrics":
+        _emit(t.table_metrics())
     elif a.cmd == "files":
         for f in t.snapshot(a.version)["files"]:
             _emit(f)

@@ -500,6 +500,25 @@ def test_sync_from_replays_rename_without_data_loss(spark, warehouse):
     assert dq[7] == 7.0
 
 
+def test_mapped_read_keeps_pushdown_and_pruning(spark, warehouse):
+    """The physical→logical alias projection must fold into the scan: filters
+    on the RENAMED logical column still reach the parquet reader as data
+    filters on the physical column, and unused columns stay pruned."""
+    cfg = EngineConfig(merge_mode="cow", n_buckets=4)
+    t, sch, ts = _table_with_score(spark, warehouse, "pushdown", cfg)
+    t.rename_column("score", "quality")
+    df = t.read_public().filter(F.col("quality") > 25.0).select("conv_id", "quality")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scan_lines, plan
+    scan = scan_lines[0]
+    # filter pushed to the scan under the PHYSICAL name
+    assert "score" in scan and "25" in plan
+    # column pruning survives the mapping: payload cols not in the projection
+    # never reach the scan
+    assert "text#" not in scan and "lsn#" not in scan, scan
+
+
 def test_expire_snapshots_older_than_keeps_young_history(spark, warehouse):
     t, _ = _mk_table(spark, warehouse, name="texp", n_epochs=4)
     hist_before = len(t.history())
@@ -564,16 +583,32 @@ def test_stream_ingest_non_default_keys_derives_dedup_identity(spark, warehouse,
     assert out["payload"].tolist() == [f"p{i}" for i in sorted(range(30), key=lambda i: (f"s{i%3}", i))]
 
 
+def test_table_metrics_metadata_only(spark, warehouse):
+    t, _ = _mk_table(spark, warehouse, name="metrics", n_epochs=3)
+    t.create_tag("pin")
+    m = t.table_metrics()
+    assert m["n_files"] > 0 and m["total_rows"] > 0
+    assert m["n_delta_files"] > 0  # MOR epochs appended deltas
+    assert m["last_epoch"] == 2 and m["n_tags"] == 1
+    assert m["n_manifest_refs"] == len(t.snapshot_meta()["manifests"])
+    assert m["bucket_bytes_max"] >= m["bucket_bytes_median"] > 0
+    # consistent with the files_df metadata table
+    import pyspark.sql.functions as Fn
+
+    agg = t.files_df().agg(
+        Fn.count(Fn.lit(1)), Fn.sum("rows"), Fn.sum("bytes")
+    ).first()
+    assert (m["n_files"], m["total_rows"], m["total_bytes"]) == tuple(agg)
+
+
 # ----------------------------------------------------- kafka via rate source
 
-def test_from_kafka_debezium_over_live_rate_stream(spark):
-    """Drive the Kafka column path under a REAL streaming micro-batch plan
-    using the built-in rate source mapped to the public Kafka shape."""
-    from etl_geo_dem_spark.sources.kafka import from_kafka_debezium
-
+def _rate_kafka_shaped(spark, rows_per_batch=20):
+    """Built-in rate source mapped to the public Kafka shape (no broker in
+    the container) — a REAL streaming micro-batch plan end to end."""
     rate = (
         spark.readStream.format("rate-micro-batch")
-        .option("rowsPerBatch", 20)
+        .option("rowsPerBatch", rows_per_batch)
         .option("numPartitions", 2)
         .load()
     )
@@ -595,7 +630,7 @@ def test_from_kafka_debezium_over_live_rate_stream(spark):
             ).alias("source"),
         )
     )
-    kafka_shaped = rate.select(
+    return rate.select(
         F.lit(None).cast("binary").alias("key"),
         env.cast("binary").alias("value"),
         F.lit("cdc.transcripts").alias("topic"),
@@ -604,7 +639,12 @@ def test_from_kafka_debezium_over_live_rate_stream(spark):
         F.col("timestamp").alias("timestamp"),
         F.lit(0).alias("timestampType"),
     )
-    parsed = from_kafka_debezium(kafka_shaped, keep_lineage=True)
+
+
+def test_from_kafka_debezium_over_live_rate_stream(spark):
+    from etl_geo_dem_spark.sources.kafka import from_kafka_debezium
+
+    parsed = from_kafka_debezium(_rate_kafka_shaped(spark), keep_lineage=True)
     captured = []
 
     def sink(batch_df, batch_id):
@@ -624,3 +664,39 @@ def test_from_kafka_debezium_over_live_rate_stream(spark):
     assert {"op", "conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn", "epoch"} <= set(
         captured[0].asDict().keys()
     )
+
+
+def test_start_kafka_cdc_ingest_end_to_end(spark, warehouse, tmp_path):
+    """The full Kafka glue path: kafka-shaped stream → Debezium decode →
+    exactly-once MERGE per micro-batch, landing LWW-correct rows in the lake
+    table and advancing the kafka stream's own watermark."""
+    from etl_geo_dem_spark.sources.kafka import start_kafka_cdc_ingest
+
+    t = LakeTable.create(
+        spark, os.path.join(warehouse, "kafka_t"), STATE_SCHEMA, n_buckets=4
+    )
+    q = start_kafka_cdc_ingest(
+        spark, t, topic="cdc.transcripts",
+        checkpoint_dir=str(tmp_path / "kafka_ckpt"),
+        cfg=EngineConfig(merge_mode="mor", n_buckets=4),
+        kafka_df=_rate_kafka_shaped(spark),
+        stream_id="kafka-test",
+    )
+    try:
+        deadline = time.time() + 90
+        rows = 0
+        while rows == 0 and time.time() < deadline:
+            time.sleep(1.0)
+            try:
+                rows = t.read_public().count()
+            except Exception:
+                rows = 0
+    finally:
+        q.stop()
+    assert rows > 0
+    assert t.last_stream_epoch("kafka-test") >= 0  # watermark advanced
+    got = t.read_public().filter(F.col("conv_id") == "conv-0").orderBy("turn_idx").first()
+    assert got is not None and got["text"].startswith("text-")
+    # missing both broker and injected frame is a loud error
+    with pytest.raises(ValueError, match="bootstrap_servers"):
+        start_kafka_cdc_ingest(spark, t, topic="x", checkpoint_dir=str(tmp_path / "c2"))
