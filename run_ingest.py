@@ -16,6 +16,15 @@ per-stream watermark; restart from the same checkpoint is a metadata no-op):
     python run_ingest.py --table /lake/transcripts \\
         --stream-source '/wal/segments/*' --checkpoint /ckpt/ingest --follow
 
+Kafka-tail mode (topic of Debezium envelopes → decode → exactly-once MERGE;
+needs the spark-sql-kafka connector jar on the cluster):
+
+    spark-submit --py-files engine.zip \\
+        --packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.0.0 \\
+        run_ingest.py --table /lake/transcripts \\
+        --kafka-topic cdc.transcripts --kafka-servers broker:9092 \\
+        --checkpoint /ckpt/kafka --follow
+
 The job is resumable from any point: committed epochs are skipped on metadata
 alone (the epoch watermark lives inside the atomic lake snapshot), so rerunning
 after a crash continues exactly where the last commit left off.
@@ -63,7 +72,19 @@ def main(argv=None):
              "a batch --source (exactly-once via the per-stream watermark; "
              "resumable from --checkpoint)",
     )
-    p.add_argument("--checkpoint", help="streaming checkpoint dir (required with --stream-source)")
+    p.add_argument(
+        "--kafka-topic",
+        help="tail a Kafka topic of Debezium envelopes instead of a file "
+             "source (requires --kafka-servers and the spark-sql-kafka "
+             "connector jar on the cluster; exactly-once via the per-stream "
+             "watermark keyed kafka:<topic>:<checkpoint>)",
+    )
+    p.add_argument("--kafka-servers", help="Kafka bootstrap servers for --kafka-topic")
+    p.add_argument(
+        "--kafka-lineage", action="store_true",
+        help="persist _src_topic/_src_partition/_src_offset lineage columns",
+    )
+    p.add_argument("--checkpoint", help="streaming checkpoint dir (required with --stream-source / --kafka-topic)")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument(
         "--follow", action="store_true",
@@ -86,6 +107,38 @@ def main(argv=None):
         if LakeTable(spark, args.table).exists()
         else LakeTable.create(spark, args.table, STATE_SCHEMA, n_buckets=args.n_buckets)
     )
+    if args.kafka_topic:
+        if not args.checkpoint or not args.kafka_servers:
+            p.error("--checkpoint and --kafka-servers required with --kafka-topic")
+        from etl_geo_dem_spark.sources.kafka import start_kafka_cdc_ingest
+
+        t0 = time.time()
+        q = start_kafka_cdc_ingest(
+            spark, t, topic=args.kafka_topic, checkpoint_dir=args.checkpoint,
+            bootstrap_servers=args.kafka_servers,
+            cfg=EngineConfig(
+                dedup_strategy=args.strategy,
+                n_buckets=args.n_buckets,
+                merge_mode=args.merge_mode,
+            ),
+            keep_lineage=args.kafka_lineage,
+            expectations=expectations,
+            fail_on_violation=args.fail_on_violation,
+            available_now=not args.follow,
+        )
+        q.awaitTermination()
+        print(
+            json.dumps(
+                {
+                    "mode": "kafka",
+                    "wall_sec": round(time.time() - t0, 2),
+                    "snapshot_version": t.current_version(),
+                    "stream_watermarks": t.snapshot_meta().get("stream_watermarks", {}),
+                    "final_rows": t.read_public().count(),
+                }
+            )
+        )
+        return 0
     if args.stream_source:
         if not args.checkpoint:
             p.error("--checkpoint required with --stream-source")

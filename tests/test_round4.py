@@ -583,6 +583,40 @@ def test_stream_ingest_non_default_keys_derives_dedup_identity(spark, warehouse,
     assert out["payload"].tolist() == [f"p{i}" for i in sorted(range(30), key=lambda i: (f"s{i%3}", i))]
 
 
+def test_run_ingest_kafka_mode_wiring(spark, warehouse, tmp_path, monkeypatch, capsys):
+    """The cluster entrypoint's --kafka-topic mode wires the glue correctly:
+    argument validation is loud, and the ingest call receives the topic /
+    checkpoint / config (the broker-dependent part is the glue's own
+    end-to-end rate-stream test above)."""
+    import run_ingest
+    import etl_geo_dem_spark.sources.kafka as kafkamod
+
+    tpath = os.path.join(warehouse, "ki")
+    with pytest.raises(SystemExit):
+        run_ingest.main(["--table", tpath, "--kafka-topic", "t"])  # no servers/ckpt
+
+    seen = {}
+
+    class FakeQuery:
+        def awaitTermination(self, *a):
+            return True
+
+    def fake_start(spark_, table, topic, checkpoint_dir, **kw):
+        seen.update(topic=topic, ckpt=checkpoint_dir, cfg=kw.get("cfg"))
+        return FakeQuery()
+
+    monkeypatch.setattr(kafkamod, "start_kafka_cdc_ingest", fake_start)
+    monkeypatch.setattr(run_ingest, "get_spark", lambda **kw: spark)
+    rc = run_ingest.main([
+        "--table", tpath, "--kafka-topic", "cdc.t", "--kafka-servers", "b:9092",
+        "--checkpoint", str(tmp_path / "ck"), "--n-buckets", "4",
+    ])
+    assert rc == 0
+    assert seen["topic"] == "cdc.t" and seen["cfg"].merge_mode == "mor"
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    assert json.loads(out)["mode"] == "kafka"
+
+
 def test_table_metrics_metadata_only(spark, warehouse):
     t, _ = _mk_table(spark, warehouse, name="metrics", n_epochs=3)
     t.create_tag("pin")
