@@ -553,6 +553,17 @@ def sync_from(
             "last_synced_version": from_v,
             **({"dropped_columns_mirrored": mirrored} if mirrored else {}),
         }
+    # The CDF horizon check runs FIRST: a truncated feed must fail the sync
+    # before any DDL touches the replica — otherwise a doomed sync would
+    # mutate the replica's schema and then raise, leaving it half-migrated.
+    try:
+        feed = source.table_changes(from_v, to_v)
+    except FileNotFoundError as e:
+        raise RuntimeError(
+            f"CDF horizon truncated: source snapshot v{from_v} of "
+            f"{source.path} was expired (expire_snapshots) — re-bootstrap the "
+            "replica (clone) or sync before expiring"
+        ) from e
     # Schema DDL replays BEFORE the data apply (and before the watermark
     # advances): a crash mid-mirror re-runs the whole range idempotently on
     # the next sync, so the replica can never end up with the watermark
@@ -562,14 +573,6 @@ def sync_from(
     # feed doesn't touch.
     ddl_ops = _replay_schema_ops(dest, source, from_v, to_v)
     mirrored = _mirror_schema_drops(dest, source, to_v)
-    try:
-        feed = source.table_changes(from_v, to_v)
-    except FileNotFoundError as e:
-        raise RuntimeError(
-            f"CDF horizon truncated: source snapshot v{from_v} of "
-            f"{source.path} was expired (expire_snapshots) — re-bootstrap the "
-            "replica (clone) or sync before expiring"
-        ) from e
     # Deletes whose source tombstone was GC'd carry the minimal winning stamp
     # straight from the CDF (old row's ts, lsn + 1 — see
     # LakeTable.table_changes), so the feed maps onto the change envelope
@@ -635,14 +638,36 @@ def _replay_schema_ops(
     return ops
 
 
+def _source_drop_evidence(source: LakeTable, to_v: int) -> set[str]:
+    """Names POSITIVELY known to have been dropped from the source: the
+    current snapshot's ``dropped_columns`` tombstones (PHYSICAL names, which
+    equal the logical name unless the column was renamed first) plus the
+    ``column`` of every surviving ``drop_column`` commit summary (LOGICAL
+    name at drop time — exactly what the replica's schema holds)."""
+    meta = source.snapshot_meta(to_v)
+    evidence = set(meta.get("dropped_columns", []))
+    for v in range(1, to_v + 1):
+        try:
+            s = source.snapshot_meta(v).get("summary") or {}
+        except (FileNotFoundError, ValueError, KeyError):
+            continue
+        if s.get("operation") == "drop_column" and s.get("column"):
+            evidence.add(s["column"])
+    return evidence
+
+
 def _mirror_schema_drops(dest: LakeTable, source: LakeTable, to_v: int) -> list[str]:
     """Fallback schema reconciliation for :func:`sync_from`: after the DDL
-    replay, any replica column still absent from the source schema (e.g. a
-    drop whose snapshot already expired, or pre-round-4 crash states) is
-    dropped so the replica converges. Renamed columns never reach this sweep
-    — the replay above already aligned their names. Runs on EVERY sync call
-    (including up-to-date ones) so recovery converges without new source
-    commits."""
+    replay, a replica column still absent from the source schema is dropped
+    ONLY on positive drop evidence (the source's ``dropped_columns``
+    tombstones or a surviving ``drop_column`` commit summary — covers a drop
+    whose own snapshot expired, and pre-round-4 crash states). Absence with
+    NO evidence — the signature of an EXPIRED ``rename_column`` snapshot the
+    replay could not see — raises instead of destructively dropping: a
+    mirror-drop there would silently discard the replica's column data for
+    every key the feed doesn't touch (ADVICE r4 #2). Runs on EVERY sync call
+    (including up-to-date ones) so crash recovery converges without new
+    source commits."""
     dsnap = dest.snapshot_meta()
     protected = (
         set(dsnap.get("key_cols", KEY_COLS))
@@ -652,11 +677,28 @@ def _mirror_schema_drops(dest: LakeTable, source: LakeTable, to_v: int) -> list[
     src_cols = {
         f["name"] for f in source.snapshot_meta(to_v)["schema"]["fields"]
     }
+    missing = [
+        f.name
+        for f in T.StructType.fromJson(dsnap["schema"]).fields
+        if f.name not in src_cols and f.name not in protected
+    ]
+    if not missing:
+        return []
+    evidence = _source_drop_evidence(source, to_v)
+    unexplained = [c for c in missing if c not in evidence]
+    if unexplained:
+        raise RuntimeError(
+            f"sync_from cannot reconcile replica column(s) {unexplained}: "
+            f"absent from the source schema with no surviving drop evidence — "
+            "a rename_column snapshot in the sync range was likely expired. "
+            "Replay the rename manually (dest.rename_column) or re-bootstrap "
+            "the replica (clone); refusing to mirror-drop, which would "
+            "discard the replica's data under the old name."
+        )
     mirrored = []
-    for f in T.StructType.fromJson(dsnap["schema"]).fields:
-        if f.name not in src_cols and f.name not in protected:
-            dest.drop_column(f.name)
-            mirrored.append(f.name)
+    for c in missing:
+        dest.drop_column(c)
+        mirrored.append(c)
     return mirrored
 
 
@@ -781,14 +823,22 @@ def _pruned_matching_rows(table: LakeTable, condition) -> DataFrame:
     original condition is applied row-level, so results are identical."""
     cond = F.expr(condition) if isinstance(condition, str) else condition
     keys = _extract_key_values(table, condition)
-    if keys is None:
-        return table.read(include_deleted=False).filter(cond)
-    key = table.key_col()
-    return table.read(
-        include_deleted=False,
-        buckets=table.buckets_of(keys),
-        stats_filters={key: (min(keys), max(keys))},
-    ).filter(cond)
+    if keys is not None:
+        # strictly best-effort, as the docstring promises: a literal whose
+        # type mismatches the key column (delete_where("conv_id = 5") on a
+        # string key) can fail bucket hashing or the stats comparison — any
+        # failure here falls back to the full scan, which handles the cast
+        # row-level exactly as it always did.
+        try:
+            key = table.key_col()
+            return table.read(
+                include_deleted=False,
+                buckets=table.buckets_of(keys),
+                stats_filters={key: (min(keys), max(keys))},
+            ).filter(cond)
+        except Exception:
+            pass
+    return table.read(include_deleted=False).filter(cond)
 
 
 def _global_max_lsn(table: LakeTable) -> int:
