@@ -30,7 +30,10 @@ class EngineConfig:
     salt_buckets: int = 16
     hot_key_threshold: float = 0.01
     hot_key_sample: float = 0.1
-    dedup_strategy: str = "agg"  # "agg" | "window" | "salted_window"
+    # "agg" | "window" | "salted_window" | "bucket_sorted" — see operators/lww.py;
+    # "bucket_sorted" is the streaming micro-batch strategy (single shuffle
+    # shared between dedup and write clustering; skew granularity = bucket)
+    dedup_strategy: str = "agg"
     # merge_mode:
     #   "cow" — copy-on-write: every epoch rewrites touched buckets; reads are
     #           plain scans. Write amplification O(state per touched bucket).
@@ -43,4 +46,10 @@ class EngineConfig:
     # accumulates this many delta files (bounds read amplification; 0 = never)
     max_deltas_per_bucket: int = 16
     target_file_rows: int = 5_000_000
+    # write the advisory per-epoch lineage manifest off the commit path (a
+    # background thread). The manifest is recomputable from the snapshot it
+    # describes, so exactly-once is unaffected; what moves off the hot path
+    # is a put_atomic (2 fsyncs on POSIX) per micro-batch. Streaming-tail
+    # knob; batch replays amortize it and should keep the default.
+    epoch_manifest_async: bool = False
     extra: dict = field(default_factory=dict)

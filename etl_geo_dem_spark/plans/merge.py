@@ -324,10 +324,21 @@ def _apply_changes_once(
         hot_keys = detect_hot_keys(
             batch, key_cols[0], cfg.hot_key_threshold, cfg.hot_key_sample
         )
-    winners = lww_winners(
-        batch, key_cols, order_cols, strategy=strategy,
-        salt_buckets=cfg.salt_buckets, hot_keys=hot_keys,
-    )
+    pre_partitioned = False
+    if strategy == "bucket_sorted":
+        # the single-shuffle micro-batch path: bucket BEFORE dedup so the
+        # dedup's one exchange doubles as the write's bucket clustering —
+        # on MOR the writer then skips its repartition (operators/lww.py).
+        winners = lww_winners(
+            batch.withColumn(BUCKET_COL, bucket_expr(bucket_key, n_buckets)),
+            key_cols, order_cols, strategy=strategy,
+        )
+        pre_partitioned = cfg.merge_mode == "mor"
+    else:
+        winners = lww_winners(
+            batch, key_cols, order_cols, strategy=strategy,
+            salt_buckets=cfg.salt_buckets, hot_keys=hot_keys,
+        )
     batch_state = _to_state_shape(winners, evolved).withColumn(
         BUCKET_COL, bucket_expr(bucket_key, n_buckets)
     )
@@ -348,7 +359,7 @@ def _apply_changes_once(
         out = batch_state.observe(obs_out, F.count(F.lit(1)).alias("rows"))
         new_files = table.write_data_files(
             out, kind="delta", max_records_per_file=cfg.target_file_rows,
-            column_mapping=new_mapping,
+            column_mapping=new_mapping, pre_partitioned=pre_partitioned,
         )
         # nothing rewritten: the parent's manifest refs carry over BY
         # REFERENCE — commit metadata is O(this epoch's files), flat as the
@@ -475,8 +486,36 @@ def _apply_changes_once(
     }
     if extra_manifest:
         manifest.update(extra_manifest)
-    table.write_epoch_manifest(epoch_id, manifest, stream_id=stream_id)
+    if cfg.epoch_manifest_async:
+        # advisory lineage off the hot path: single worker keeps manifests
+        # landing in commit order; recomputable from the snapshot, so a lost
+        # write on crash costs nothing exactly-once depends on
+        _manifest_pool().submit(
+            table.write_epoch_manifest, epoch_id, manifest, stream_id
+        )
+    else:
+        table.write_epoch_manifest(epoch_id, manifest, stream_id=stream_id)
     return manifest
+
+
+_MANIFEST_POOL = None
+
+
+def _manifest_pool():
+    global _MANIFEST_POOL
+    if _MANIFEST_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _MANIFEST_POOL = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="epoch-manifest"
+        )
+    return _MANIFEST_POOL
+
+
+def flush_epoch_manifests() -> None:
+    """Barrier for async epoch-manifest writes (tests / orderly shutdown)."""
+    if _MANIFEST_POOL is not None:
+        _manifest_pool().submit(lambda: None).result()
 
 
 def replay(

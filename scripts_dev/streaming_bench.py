@@ -28,14 +28,14 @@ from etl_geo_dem_spark.sources.changes import generate_changes  # noqa: E402
 from etl_geo_dem_spark.streaming.ingest import start_cdc_ingest  # noqa: E402
 
 
-def run_once(spark, src: str, n_events: int, mfpt: int) -> dict:
+def run_once(spark, src: str, n_events: int, mfpt: int, cfg=None) -> dict:
     wh = tempfile.mkdtemp(prefix="sbench_")
     try:
         table = LakeTable.create(spark, os.path.join(wh, "t"), STATE_SCHEMA, n_buckets=32)
         t0 = time.time()
         q = start_cdc_ingest(
             spark, table, src, CHANGE_SCHEMA, os.path.join(wh, "ckpt"),
-            EngineConfig(dedup_strategy="agg", merge_mode="mor"),
+            cfg or EngineConfig(dedup_strategy="agg", merge_mode="mor"),
             max_files_per_trigger=mfpt, available_now=True,
         )
         q.awaitTermination()
@@ -71,14 +71,33 @@ def main():
             ch.filter(F.col("epoch") == e).coalesce(4).write.mode("overwrite").parquet(
                 os.path.join(src, f"seg_{e:04d}")
             )
-        runs = [run_once(spark, src + "/*", n_events, mfpt) for _ in range(3)]
-        best = max(runs, key=lambda r: r["events_per_sec"])
+        # variant ladder: the r4 default vs the round-5 streaming-tail config
+        # (single-shuffle bucket_sorted dedup + async advisory manifest)
+        variants = {
+            "agg_sync": EngineConfig(dedup_strategy="agg", merge_mode="mor"),
+            "bucket_sorted_async": EngineConfig(
+                dedup_strategy="bucket_sorted", merge_mode="mor",
+                epoch_manifest_async=True,
+            ),
+        }
+        results = {}
+        for name, cfg in variants.items():
+            runs = [run_once(spark, src + "/*", n_events, mfpt, cfg) for _ in range(3)]
+            results[name] = {
+                "best": max(runs, key=lambda r: r["events_per_sec"]),
+                "runs_events_per_sec": [r["events_per_sec"] for r in runs],
+            }
+            finals = {r["final_rows"] for r in runs}
+            assert len(finals) == 1, f"nondeterministic final state: {finals}"
+        final_sets = {v["best"]["final_rows"] for v in results.values()}
+        assert len(final_sets) == 1, f"variant final states differ: {final_sets}"
+        best = results["bucket_sorted_async"]["best"]
         out = {
             "metric": "streaming_cdc_events_per_sec",
             "value": best["events_per_sec"],
             "unit": "events/sec",
             "best": best,
-            "runs_events_per_sec": [r["events_per_sec"] for r in runs],
+            "variants": results,
             "n_events": n_events,
             "n_files": n_files,
             "max_files_per_trigger": mfpt,

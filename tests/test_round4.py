@@ -154,7 +154,12 @@ def test_one_snapshot_parse_per_commit_attempt(spark, warehouse, monkeypatch):
     """Directive 3 'done' criterion: one apply_changes parses each snapshot
     JSON at most once (accessors ride the version-keyed cache)."""
     t, _ = _mk_table(spark, warehouse, name="oneparse")
-    t2 = LakeTable(spark, t.path)  # cold cache
+    t2 = LakeTable(spark, t.path)  # cold per-handle cache
+    # also empty the process-wide stat-validated parse cache (round 5), so
+    # this measures a genuinely cold process and the parse must happen
+    from etl_geo_dem_spark.plans import lake_table as lt_mod
+
+    lt_mod._PARSE_CACHE.clear()
     calls: dict[str, int] = {}
     orig = LakeTable._parse_snapshot_file
 
