@@ -17,4 +17,5 @@ from etl_geo_dem_spark.queries import textops  # noqa: F401,E402
 from etl_geo_dem_spark.queries import vector  # noqa: F401,E402
 from etl_geo_dem_spark.queries import multimodal  # noqa: F401,E402
 from etl_geo_dem_spark.queries import advanced  # noqa: F401,E402
+from etl_geo_dem_spark.queries import pipeline  # noqa: F401,E402
 from etl_geo_dem_spark.queries import streaming_q  # noqa: F401,E402
