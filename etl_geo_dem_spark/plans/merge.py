@@ -489,10 +489,12 @@ def _apply_changes_once(
     if cfg.epoch_manifest_async:
         # advisory lineage off the hot path: single worker keeps manifests
         # landing in commit order; recomputable from the snapshot, so a lost
-        # write on crash costs nothing exactly-once depends on
+        # write on crash costs nothing exactly-once depends on. A failed
+        # write must still be VISIBLE (advisory ≠ silent): surface it on
+        # stderr instead of letting the Future swallow the exception.
         _manifest_pool().submit(
             table.write_epoch_manifest, epoch_id, manifest, stream_id
-        )
+        ).add_done_callback(_warn_if_failed)
     else:
         table.write_epoch_manifest(epoch_id, manifest, stream_id=stream_id)
     return manifest
@@ -510,6 +512,18 @@ def _manifest_pool():
             max_workers=1, thread_name_prefix="epoch-manifest"
         )
     return _MANIFEST_POOL
+
+
+def _warn_if_failed(fut) -> None:
+    exc = fut.exception()
+    if exc is not None:
+        import sys
+
+        print(
+            f"WARNING: async epoch-manifest write failed (advisory lineage "
+            f"only; snapshot commit unaffected): {exc!r}",
+            file=sys.stderr,
+        )
 
 
 def flush_epoch_manifests() -> None:

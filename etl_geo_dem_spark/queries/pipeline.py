@@ -255,3 +255,88 @@ def pipeline_domain_mixture_weights(spark, sf_dir):
             "weight"
         ),
     )
+
+
+def _cluster_oracle() -> str:
+    """Recursive-CTE oracle for the canonical-assignment composition: the
+    MinHash-LSH candidate-pair SQL (reused verbatim from the graded
+    `dedup_minhash_lsh_candidates` oracle, as a subquery) feeds a min-label
+    fixpoint walk — the same dual-oracle pattern as
+    `graph_connected_components`."""
+    from etl_geo_dem_spark.queries.registry import REGISTRY
+
+    pair_sql = REGISTRY["dedup_minhash_lsh_candidates"].oracle
+    return f"""
+WITH RECURSIVE
+pairs AS (SELECT doc_a, doc_b FROM ({pair_sql})),
+sym AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+nodes AS (SELECT DISTINCT u AS node FROM sym),
+walk(node, label) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT s.v, w.label FROM walk w JOIN sym s ON s.u = w.node
+)
+SELECT node AS doc_id, min(label)::BIGINT AS canonical
+FROM walk GROUP BY node
+"""
+
+
+@register(
+    "zz_dedup_minhash_cluster_canonical",
+    oracle=_cluster_oracle(),
+    tags=("dedup", "clustering", "composition"),
+)
+def dedup_minhash_cluster_canonical(spark, sf_dir):
+    """The dedup ASSIGNMENT step a pipeline actually applies: connected
+    components over the MinHash-LSH candidate-pair graph, each near-dup doc
+    mapped to its cluster's canonical (min doc_id) — keep canonical, drop or
+    down-weight the rest. Composition of two graded operators
+    (`dedup_minhash_lsh_candidates` × the CC min-label loop), sharing their
+    scale shapes: banded bucket join (never all-pairs) + O(diameter)
+    label-propagation rounds over ONLY the near-dup subgraph, which is tiny
+    relative to the corpus (dup clusters, not all docs). At 10^10 docs the
+    pair graph still fits the same loop; for pathological mega-clusters
+    switch to the two-phase large/small-star variant (`zz_graph_cc_two_phase`)."""
+    from etl_geo_dem_spark.queries.textops import dedup_minhash_lsh_candidates
+
+    pairs = dedup_minhash_lsh_candidates(spark, sf_dir).select("doc_a", "doc_b")
+    sym = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .unionByName(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)  # edges reused every iteration
+    )
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):  # near-dup cluster diameter bound; converges earlier
+        nbr = (
+            sym.join(labels, sym.u == labels.node)
+            .groupBy(F.col("v").alias("node2"))
+            .agg(F.min("label").alias("nbr"))
+        )
+        new = (
+            labels.join(nbr, labels.node == nbr.node2, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nbr", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)  # truncate lineage per round
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").cast("long").alias("canonical")
+    )

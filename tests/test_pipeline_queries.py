@@ -98,3 +98,14 @@ def test_mixture_weights_hit_the_target(spark):
     for r in rows.values():
         # weight × actual share = target share (the defining property)
         assert abs(r["weight"] * r["actual_share"] - 0.2) < 1e-4
+
+
+# ---------------------------------------------------- dedup cluster canonical
+
+def test_cluster_canonical_is_a_valid_assignment(spark):
+    rows = _df(spark, "zz_dedup_minhash_cluster_canonical").collect()
+    assert len(rows) > 0
+    label = {r["doc_id"]: r["canonical"] for r in rows}
+    for doc, canon in label.items():
+        assert canon <= doc  # canonical is the component min
+        assert label[canon] == canon  # canonicals are their own canonical
