@@ -116,6 +116,16 @@ def spark_xxhash64(value, dtype: T.DataType) -> int:
     if value is None:
         h = SPARK_HASH_SEED  # null children leave the running hash unchanged
     elif isinstance(dtype, T.StringType):
+        # Python str() and Spark's cast-to-string agree ONLY for str and int
+        # (decimal repr): str(1e7)='10000000.0' vs Spark '1.0E7',
+        # str(True)='True' vs Spark 'true' — those must NOT be hashed here.
+        # TypeError routes the caller to the Spark-job twin, whose cast
+        # applies Spark's own semantics.
+        if isinstance(value, bool) or not isinstance(value, (str, int)):
+            raise TypeError(
+                f"str() of {type(value).__name__} diverges from Spark's "
+                "cast-to-string; use the Spark-side hash"
+            )
         h = xxh64_bytes(str(value).encode("utf-8"))
     elif isinstance(dtype, _INT_TYPES):
         h = xxh64_int(int(value))

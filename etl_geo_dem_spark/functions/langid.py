@@ -154,17 +154,23 @@ def classify_df(df, text_col: str = "text", id_col: str = "doc_id"):
 
     spark = df.sparkSession
     prof = spark.createDataFrame(PROFILE_ROWS, "lang string, tg string, w int")
-    s_sql = f"concat(' ', lower({text_col}), ' ')"
+    # bind the padded-lowered text to a REAL column before the higher-order
+    # transforms: a lambda body that references the concat/lower expression
+    # directly re-evaluates it per array element (O(len²) character work per
+    # document — same trap as textops._shingle_postings, measured there)
+    padded = df.select(
+        id_col, F.expr(f"concat(' ', lower({text_col}), ' ')").alias("_s")
+    )
     # per window length n: transform(sequence(1, length(s)-n+1), i -> substring(s, i, n));
     # guarded because Spark's sequence(1, 0) DESCENDS (it would fabricate
     # indices, not yield an empty list)
     parts = ", ".join(
-        f"if(length({s_sql}) >= {n}, "
-        f"transform(sequence(1, length({s_sql}) - {n} + 1), i -> substring({s_sql}, i, {n})), "
+        f"if(length(_s) >= {n}, "
+        f"transform(sequence(1, length(_s) - {n} + 1), i -> substring(_s, i, {n})), "
         f"array())"
         for n in NGRAM_SIZES
     )
-    tgs = df.select(
+    tgs = padded.select(
         id_col, F.explode(F.expr(f"flatten(array({parts}))")).alias("tg")
     )
     scores = (

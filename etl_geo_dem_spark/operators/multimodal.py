@@ -91,6 +91,27 @@ def _png_unfilter(ftype: int, row: bytearray, prior: bytes, bpp: int) -> None:
         raise ValueError(f"invalid PNG filter type {ftype}")
 
 
+def _as_value_error(fn):
+    """Decoder contract: ANY malformed byte raises ValueError. Truncated
+    buffers surface from struct.unpack as struct.error and corrupt streams
+    from zlib as zlib.error — normalize both so callers written to the
+    documented contract (except ValueError) never see a foreign type."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(payload):
+        import struct
+        import zlib
+
+        try:
+            return fn(payload)
+        except (struct.error, zlib.error) as e:
+            raise ValueError(f"malformed container: {e}") from e
+
+    return wrapped
+
+
+@_as_value_error
 def decode_png(payload: bytes) -> dict:
     """Decode a real (grayscale 8-bit, non-interlaced) PNG: verify the
     signature, walk the chunks verifying each CRC32, parse IHDR, inflate the
@@ -146,6 +167,7 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
+@_as_value_error
 def decode_wav(payload: bytes) -> dict:
     """Decode a real RIFF/WAVE container: chunk walk, PCM fmt parse, int16 LE
     sample extraction, sample statistics. Raises ValueError on malformed or

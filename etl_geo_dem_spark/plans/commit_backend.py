@@ -77,13 +77,22 @@ class CommitBackend:
 
     def delete(self, path: str) -> bool:
         """Remove the object. True if one was removed; False if the name was
-        already vacant (idempotent)."""
-        raise NotImplementedError
+        already vacant (idempotent). The local spelling below is shared by
+        both in-tree backends (a DELETE is idempotent-by-API on a real
+        store); a remote backend overrides it."""
+        try:
+            os.remove(path)
+            return True
+        except FileNotFoundError:
+            return False
 
     def ensure_prefix(self, path: str) -> None:
-        """Prepare a key prefix for writing. Directory creation on POSIX;
-        a documented NO-OP on object stores (prefixes are not entities)."""
-        raise NotImplementedError
+        """Prepare a key prefix for writing. Directory creation on POSIX; on
+        an object store prefixes are not entities, so this is semantically a
+        NO-OP — but both in-tree backends share the local emulation substrate,
+        which needs the directory to exist. A remote backend overrides with
+        an actual no-op."""
+        os.makedirs(path, exist_ok=True)
 
 
 class PosixCommitBackend(CommitBackend):
@@ -118,16 +127,6 @@ class PosixCommitBackend(CommitBackend):
             os.fsync(f.fileno())
         os.replace(tmp, path)
         self._fsync_dir(d)
-
-    def delete(self, path: str) -> bool:
-        try:
-            os.remove(path)
-            return True
-        except FileNotFoundError:
-            return False
-
-    def ensure_prefix(self, path: str) -> None:
-        os.makedirs(path, exist_ok=True)
 
     @staticmethod
     def _fsync_dir(d: str) -> None:
@@ -180,18 +179,6 @@ class ObjectStoreCommitBackend(CommitBackend):
         tmp = self._stage(path, data)
         # local stand-in for a plain PUT's native whole-object atomicity
         os.replace(tmp, path)
-
-    def delete(self, path: str) -> bool:
-        try:
-            os.remove(path)
-            return True
-        except FileNotFoundError:
-            return False
-
-    def ensure_prefix(self, path: str) -> None:
-        # prefixes are not entities on an object store — NO-OP semantically;
-        # the local emulation substrate still needs the directory to exist
-        os.makedirs(path, exist_ok=True)
 
 
 _BACKENDS = {

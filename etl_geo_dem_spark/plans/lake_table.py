@@ -1168,13 +1168,24 @@ class LakeTable:
         is opened for skipped ones) is below the bound. Retention via
         :meth:`expire_snapshots` bounds the population operationally; these
         args keep observability O(asked-for) rather than O(retained) —
-        VERDICT r4 nit #3."""
+        VERDICT r4 nit #3.
+
+        Ordering caveat: filename order groups per SCOPE (batch manifests
+        sort before stream-scoped ``epoch_s<hash>_*`` ones), and epoch ids
+        are per-scope sequences — with multiple feeds, apply ``since_epoch``
+        to one scope's ids and treat ``limit`` as a size cap, not a global
+        recency cut. A filename whose tail is not an integer (external
+        tooling) is treated as epoch-unknown and KEPT, never crashed on."""
         paths = sorted(glob.glob(os.path.join(self.manifest_dir, "epoch_*.json")))
         if since_epoch is not None:
+
+            def _epoch_of(p: str) -> int | None:
+                tail = os.path.basename(p).rsplit("_", 1)[-1].split(".")[0]
+                return int(tail) if tail.isdigit() else None
+
             paths = [
                 p for p in paths
-                if int(os.path.basename(p).rsplit("_", 1)[-1].split(".")[0])
-                >= since_epoch
+                if (e := _epoch_of(p)) is None or e >= since_epoch
             ]
         if limit is not None:
             paths = paths[-limit:]
@@ -1255,7 +1266,15 @@ class LakeTable:
         # crash hygiene: metadata temps a dead committer left behind (complete
         # commits removed theirs; these are pre-link leftovers, invisible to
         # every reader) — reap past the same grace the data orphans get
-        for mdir in (self._snap_dir, self._filelists_dir, self._tags_dir):
+        # the table root and manifest dir stage too (objectstore backend's
+        # _write_pointer / write_epoch_manifest) — sweep all five locations
+        for mdir in (
+            self._snap_dir,
+            self._filelists_dir,
+            self._tags_dir,
+            self.manifest_dir,
+            self.path,
+        ):
             for p in (
                 glob.glob(os.path.join(mdir, ".tmp-*"))
                 + glob.glob(os.path.join(mdir, "*.tmp"))
@@ -1604,9 +1623,18 @@ class LakeTable:
                     wm = dict(out_meta.get("stream_watermarks") or {})
                     wm["cdf:" + os.path.realpath(self.path)] = v
                     out_meta["stream_watermarks"] = wm
-                dest.backend.put_if_absent(
+                if not dest.backend.put_if_absent(
                     dest._snap_path(sv), json.dumps(out_meta).encode()
-                )
+                ):
+                    # the pre-backend code used open(..., 'x') and raised here:
+                    # a leftover snapshot from a previous failed clone into the
+                    # same directory must ABORT, not silently graft two
+                    # sources' metadata into one replica chain
+                    raise FileExistsError(
+                        f"clone target already holds {dest._snap_path(sv)} — "
+                        "leftover from a previous failed clone? Remove the "
+                        "destination directory and re-run."
+                    )
             for p in sorted(glob.glob(os.path.join(self.manifest_dir, "epoch_*.json"))):
                 shutil.copy2(p, os.path.join(dest.manifest_dir, os.path.basename(p)))
             dest.backend.put_atomic(dest._current_path, str(v).encode())
@@ -2119,12 +2147,13 @@ class LakeTable:
                 return out
         except (TypeError, ValueError, OverflowError):
             pass  # exotic key type / un-coercible literal → Spark-job twin
-        df = self.spark.createDataFrame(
-            [(v,) for v in key_values],
-            T.StructType([T.StructField("k", key_field or T.StringType())]),
-        )
+        # infer the literals' NATURAL type, then cast the column to the key
+        # column's type — Spark's cast, not Python's str()/int(), decides the
+        # representation that gets hashed (str(1e7) vs Spark's '1.0E7')
+        df = self.spark.createDataFrame([(v,) for v in key_values], ["k"])
+        col = F.col("k").cast(key_field) if key_field is not None else F.col("k")
         rows = (
-            df.select(F.pmod(F.xxhash64(F.col("k")), F.lit(n)).cast("int").alias("b"))
+            df.select(F.pmod(F.xxhash64(col), F.lit(n)).cast("int").alias("b"))
             .distinct()
             .collect()
         )

@@ -501,16 +501,22 @@ def _apply_changes_once(
 
 
 _MANIFEST_POOL = None
+_MANIFEST_POOL_LOCK = __import__("threading").Lock()
 
 
 def _manifest_pool():
+    # double-checked under a lock: two streams committing their first epochs
+    # concurrently must share ONE single-worker pool, or the commit-order and
+    # flush-barrier guarantees silently split across two queues
     global _MANIFEST_POOL
     if _MANIFEST_POOL is None:
-        from concurrent.futures import ThreadPoolExecutor
+        with _MANIFEST_POOL_LOCK:
+            if _MANIFEST_POOL is None:
+                from concurrent.futures import ThreadPoolExecutor
 
-        _MANIFEST_POOL = ThreadPoolExecutor(
-            max_workers=1, thread_name_prefix="epoch-manifest"
-        )
+                _MANIFEST_POOL = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="epoch-manifest"
+                )
     return _MANIFEST_POOL
 
 
@@ -738,7 +744,14 @@ def _mirror_schema_drops(dest: LakeTable, source: LakeTable, to_v: int) -> list[
     if not missing:
         return []
     evidence = _source_drop_evidence(source, to_v)
-    unexplained = [c for c in missing if c not in evidence]
+    # tombstones record PHYSICAL names; a replica column that was RENAMED
+    # before the source dropped it is missing under its LOGICAL name, so
+    # translate through the replica's own column_mapping (it learned the
+    # rename when it replayed it) before declaring the drop unexplained
+    dmap = dsnap.get("column_mapping") or {}
+    unexplained = [
+        c for c in missing if c not in evidence and dmap.get(c, c) not in evidence
+    ]
     if unexplained:
         raise RuntimeError(
             f"sync_from cannot reconcile replica column(s) {unexplained}: "
@@ -889,8 +902,19 @@ def _pruned_matching_rows(table: LakeTable, condition) -> DataFrame:
                 buckets=table.buckets_of(keys),
                 stats_filters={key: (min(keys), max(keys))},
             ).filter(cond)
-        except Exception:
-            pass
+        except (TypeError, ValueError, OverflowError):
+            pass  # un-coercible literal — the expected best-effort case
+        except Exception as e:
+            # anything else (missing sidecar, corrupt metadata) is a real
+            # fault: still fall back — the full scan either works or fails
+            # with the true error — but never swallow the cause silently
+            import sys
+
+            print(
+                f"WARNING: pruned DML fast path failed unexpectedly "
+                f"({e!r}); falling back to full-scan read",
+                file=sys.stderr,
+            )
     return table.read(include_deleted=False).filter(cond)
 
 
