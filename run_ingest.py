@@ -39,7 +39,7 @@ import time
 
 from etl_geo_dem_spark.config import EngineConfig
 from etl_geo_dem_spark.plans.lake_table import LakeTable
-from etl_geo_dem_spark.plans.merge import replay
+from etl_geo_dem_spark.plans.merge import flush_epoch_manifests, replay
 from etl_geo_dem_spark.schemas import CHANGE_SCHEMA, STATE_SCHEMA
 from etl_geo_dem_spark.session import get_spark
 from etl_geo_dem_spark.sources.changes import generate_changes
@@ -53,7 +53,12 @@ def main(argv=None):
     p.add_argument("--epochs", type=int, default=8)
     p.add_argument("--n-buckets", type=int, default=32)
     p.add_argument("--master", default=None)
-    p.add_argument("--strategy", default="agg", choices=["agg", "window", "salted_window"])
+    p.add_argument(
+        "--strategy", default="agg",
+        choices=["agg", "window", "salted_window", "bucket_sorted"],
+        help="LWW dedup strategy; bucket_sorted is the single-shuffle "
+             "micro-batch strategy (streaming-tail config)",
+    )
     p.add_argument(
         "--merge-mode", default="mor", choices=["mor", "cow"],
         help="mor = O(batch) delta appends + read-time LWW + auto-compaction "
@@ -86,6 +91,11 @@ def main(argv=None):
     )
     p.add_argument("--checkpoint", help="streaming checkpoint dir (required with --stream-source / --kafka-topic)")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument(
+        "--async-manifests", action="store_true",
+        help="write advisory epoch-lineage manifests off the commit path "
+             "(streaming-tail knob; flushed before exit)",
+    )
     p.add_argument(
         "--follow", action="store_true",
         help="keep tailing indefinitely (default: availableNow — drain what "
@@ -120,6 +130,7 @@ def main(argv=None):
                 dedup_strategy=args.strategy,
                 n_buckets=args.n_buckets,
                 merge_mode=args.merge_mode,
+                epoch_manifest_async=args.async_manifests,
             ),
             keep_lineage=args.kafka_lineage,
             expectations=expectations,
@@ -127,6 +138,7 @@ def main(argv=None):
             available_now=not args.follow,
         )
         q.awaitTermination()
+        flush_epoch_manifests()
         print(
             json.dumps(
                 {
@@ -151,6 +163,7 @@ def main(argv=None):
                 dedup_strategy=args.strategy,
                 n_buckets=args.n_buckets,
                 merge_mode=args.merge_mode,
+                epoch_manifest_async=args.async_manifests,
             ),
             max_files_per_trigger=args.max_files_per_trigger,
             available_now=not args.follow,
@@ -158,6 +171,7 @@ def main(argv=None):
             fail_on_violation=args.fail_on_violation,
         )
         q.awaitTermination()
+        flush_epoch_manifests()
         sid_watermarks = t.snapshot_meta().get("stream_watermarks", {})
         print(
             json.dumps(
