@@ -134,3 +134,35 @@ def test_stream_ingest_tail_config_matches_batch(spark, warehouse, tmp_path):
     for col in ["conv_id", "turn_idx", "text", "ts"]:
         assert got[col].fillna("∅").tolist() == exp[col].fillna("∅").tolist(), col
     assert len(stable.read_epoch_manifests()) == n_epochs
+
+
+def test_bucket_sorted_replay_with_schema_evolution_matches_agg(spark, warehouse):
+    """Mid-stream additive evolution (tool_args appears at epoch 2) under the
+    single-shuffle strategy: the bucket column is added BEFORE dedup, so the
+    evolved batch shape must flow through unchanged — state identical to the
+    default strategy including the evolved column."""
+    ch = generate_changes(
+        spark, 3000, n_conv=50, turns_per_conv=8, n_epochs=3,
+        evolve_from_epoch=2, n_partitions=8,
+    )
+
+    def _run(name, strategy):
+        t = LakeTable.create(
+            spark, os.path.join(warehouse, name), STATE_SCHEMA, n_buckets=8
+        )
+        for e in range(3):
+            batch = ch.filter(F.col("epoch") == e)
+            if e < 2 and "tool_args" in batch.columns:
+                batch = batch.drop("tool_args")
+            apply_changes(
+                t, batch, e,
+                EngineConfig(dedup_strategy=strategy, merge_mode="mor"),
+            )
+        return t.read_public().orderBy("conv_id", "turn_idx").toPandas()
+
+    exp = _run("evo_agg", "agg")
+    got = _run("evo_tail", "bucket_sorted")
+    assert "tool_args" in got.columns  # evolution reached the tail config
+    assert len(got) == len(exp) > 0
+    for col in ("conv_id", "turn_idx", "ts", "text", "tool_args"):
+        assert got[col].fillna("∅").tolist() == exp[col].fillna("∅").tolist(), col
