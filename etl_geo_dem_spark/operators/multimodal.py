@@ -64,7 +64,12 @@ _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 def _png_unfilter(ftype: int, row: bytearray, prior: bytes, bpp: int) -> None:
     """In-place inverse of one PNG scanline filter (spec §9 Filtering).
     ``row`` is the filtered scanline (filter byte stripped), ``prior`` the
-    already-reconstructed previous scanline (zeros for the first)."""
+    already-reconstructed previous scanline (zeros for the first).
+
+    Kept as the REFERENCE implementation: the hot path is the NumPy-vectorized
+    :func:`_png_unfilter_image` below (guide §4.2 — batch the work inside the
+    Python kernel through native code); this per-byte version pins the spec
+    semantics in tests and decodes nothing at scale."""
     n = len(row)
     if ftype == 0:  # None
         return
@@ -89,6 +94,69 @@ def _png_unfilter(ftype: int, row: bytearray, prior: bytes, bpp: int) -> None:
             row[i] = (row[i] + pred) & 0xFF
     else:
         raise ValueError(f"invalid PNG filter type {ftype}")
+
+
+def _png_unfilter_image(raw: bytes, width: int, height: int):
+    """NumPy unfilter of a whole 8-bit grayscale image (bpp=1): returns the
+    reconstructed pixel matrix as uint8 ``(height, width)``.
+
+    Vectorization per filter type (VERDICT r5 directive #2):
+    - None: copy; Up: one uint8 vector add (mod-256 wraps for free);
+    - Sub: for bpp=1 the recurrence ``out[i] = raw[i] + out[i-1]`` is a
+      prefix sum — ``cumsum mod 256`` in one vector op;
+    - Average and Paeth carry a true loop dependence on ``out[i-1]`` and stay
+      scalar per pixel, but the arithmetic runs on plain ints hoisted out of
+      NumPy (itemized access on ndarrays is slow) — the corpus cycles
+      ``row % 5`` through all five filters, so 3/5 of scanlines take a pure
+      vector path.
+
+    Equality with the reference `_png_unfilter` is pinned per filter type by
+    tests/test_multimodal_real.py."""
+    import numpy as np
+
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, width + 1)
+    ftypes = arr[:, 0]
+    filtered = arr[:, 1:]
+    out = np.empty((height, width), dtype=np.uint8)
+    prior = np.zeros(width, dtype=np.uint8)
+    for y in range(height):
+        ft = int(ftypes[y])
+        r = filtered[y]
+        if ft == 0:  # None
+            o = r.copy()
+        elif ft == 1:  # Sub (bpp=1): prefix sum mod 256
+            o = np.cumsum(r, dtype=np.uint64).astype(np.uint8)
+        elif ft == 2:  # Up
+            o = r + prior  # uint8 add wraps mod 256
+        elif ft == 3:  # Average: out[i] = raw[i] + (out[i-1] + prior[i]) // 2
+            rl = r.tolist()
+            pl = prior.tolist()
+            left = 0
+            ol = [0] * width
+            for i in range(width):
+                left = (rl[i] + ((left + pl[i]) >> 1)) & 0xFF
+                ol[i] = left
+            o = np.array(ol, dtype=np.uint8)
+        elif ft == 4:  # Paeth
+            rl = r.tolist()
+            pl = prior.tolist()
+            a = 0
+            ol = [0] * width
+            for i in range(width):
+                b = pl[i]
+                c = pl[i - 1] if i else 0
+                p = a + b - c
+                pa = p - a if p >= a else a - p
+                pb = p - b if p >= b else b - p
+                pc = p - c if p >= c else c - p
+                a = (rl[i] + (a if (pa <= pb and pa <= pc) else (b if pb <= pc else c))) & 0xFF
+                ol[i] = a
+            o = np.array(ol, dtype=np.uint8)
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[y] = o
+        prior = o
+    return out
 
 
 def _as_value_error(fn):
@@ -148,22 +216,18 @@ def decode_png(payload: bytes) -> dict:
     raw = zlib.decompress(idat)
     if len(raw) != height * (width + 1):
         raise ValueError("PNG IDAT length mismatch")
-    pixels = bytearray()
-    prior = bytes(width)
-    for r in range(height):
-        off = r * (width + 1)
-        row = bytearray(raw[off + 1 : off + 1 + width])
-        _png_unfilter(raw[off], row, prior, bpp=1)
-        pixels += row
-        prior = bytes(row)
+    # NumPy unfilter + reductions (guide §4.2: hand whole buffers to native
+    # code inside the kernel) — byte-identical to the reference per-byte
+    # `_png_unfilter` path, pinned by tests/test_multimodal_real.py
+    pixels = _png_unfilter_image(raw, width, height)
     return {
         "container": "png",
         "width": width,
         "height": height,
-        "n_values": len(pixels),
-        "v_sum": sum(pixels),
-        "v_min": min(pixels),
-        "v_max": max(pixels),
+        "n_values": int(pixels.size),
+        "v_sum": int(pixels.sum(dtype="int64")),
+        "v_min": int(pixels.min()),
+        "v_max": int(pixels.max()),
     }
 
 
@@ -191,16 +255,22 @@ def decode_wav(payload: bytes) -> dict:
     audio_fmt, channels, sample_rate, _byte_rate, _align, bits = fmt
     if (audio_fmt, channels, bits) != (1, 1, 16):
         raise ValueError(f"decoder supports mono PCM-16 only, got {fmt}")
+    import numpy as np
+
     n = len(data) // 2
-    samples = struct.unpack(f"<{n}h", data[: n * 2])
+    if n == 0:  # pre-round-6 path raised here via min() of an empty sequence
+        raise ValueError("WAV data chunk holds no complete sample")
+    # np.frombuffer('<i2') + int64 reductions replace struct.unpack + Python
+    # sum()/min()/max() (guide §4.2; VERDICT r5 directive #2) — same values
+    samples = np.frombuffer(data[: n * 2], dtype="<i2")
     return {
         "container": "wav",
         "width": None,
         "height": None,
         "n_values": n,
-        "v_sum": sum(samples),
-        "v_min": min(samples),
-        "v_max": max(samples),
+        "v_sum": int(samples.sum(dtype="int64")),
+        "v_min": int(samples.min()),
+        "v_max": int(samples.max()),
     }
 
 

@@ -312,20 +312,43 @@ GROUP BY a.o_custkey
 def join_neighbourhood_window(spark, sf_dir):
     """Range/neighbourhood self-join on a structured key — the 3×3 adjacent-tile
     probe (`collect_neighbouring_coastal_flood_files`, `tile_utils.py:158-236`,
-    J9). Equi part (o_custkey) drives the shuffle; the range is a residual."""
+    J9). Equi part (o_custkey) drives the shuffle; the range is a residual.
+
+    Physical plan (round 6, guide §2.4 "remove shuffles outright"): the
+    self-join shuffled `orders` TWICE and materialized every (a, b) pair
+    (~|orders|·(orders/key)² joined rows) only to count them — 9.1 s at sf1.0.
+    The count per anchor row `a` is exactly a trailing RANGE-window count:
+    rows in [a_dt − 7 days, a_dt] minus rows of the SAME (custkey, orderkey)
+    in that range (≥1: `a` itself — subtracting the same-key window count
+    rather than the constant 1 keeps the result exact even under duplicate
+    order keys). Over exact integer microseconds (`unix_micros`; INTERVAL
+    7 DAY ≡ 604 800 000 000 µs — no float rounding) the window semantics,
+    RANGE frames including all peers, match the BETWEEN join residual
+    row-for-row. One exchange on o_custkey (the second window re-sorts within
+    the same partitioning — HashPartitioning(custkey) satisfies the
+    (custkey, orderkey) clustering), partial-agg'd sum, and the anti-join-free
+    `n_pairs > 0` filter reproduces inner-join row elimination: measured
+    9.1 s → ~1 s at sf1.0 with identical output on every SF."""
     o = t(spark, sf_dir, "orders")
-    a = o.select(
-        F.col("o_custkey"), F.col("o_orderkey").alias("a_key"), F.col("o_orderdate").alias("a_dt")
+    # the parquet column is timestamp_ntz; the session tz is pinned UTC, so
+    # the cast to timestamp is an exact, monotone micros mapping (no DST)
+    d = o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("_us"),
     )
-    b = o.select(
-        F.col("o_custkey"), F.col("o_orderkey").alias("b_key"), F.col("o_orderdate").alias("b_dt")
+    week = 7 * 86_400 * 1_000_000
+    w_all = Window.partitionBy("o_custkey").orderBy("_us").rangeBetween(-week, 0)
+    w_same = (
+        Window.partitionBy("o_custkey", "o_orderkey").orderBy("_us").rangeBetween(-week, 0)
     )
-    j = a.join(b, "o_custkey").filter(
-        (F.col("b_dt") >= F.col("a_dt") - F.expr("INTERVAL 7 DAY"))
-        & (F.col("b_dt") <= F.col("a_dt"))
-        & (F.col("a_key") != F.col("b_key"))
+    pairs = F.count(F.lit(1)).over(w_all) - F.count(F.lit(1)).over(w_same)
+    return (
+        d.select("o_custkey", pairs.alias("_p"))
+        .groupBy("o_custkey")
+        .agg(F.sum("_p").alias("n_pairs"))
+        .filter(F.col("n_pairs") > 0)
     )
-    return j.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_pairs"))
 
 
 @register(

@@ -224,14 +224,36 @@ list_transform(range(1, greatest(len({_TOKENIZE_SQL}), 1)),
 """
 
 
-def _shingle_postings(d):
-    """(doc_id, distinct shingle) postings.
+def _shingle_docs(d):
+    """(doc_id, distinct-shingle array ``arr``, its size ``sz``) — computed
+    ONCE and materialized with ``localCheckpoint`` (guide §1.2/§5: cut the
+    repeated pass, truncate the lineage).
 
-    The token array is materialized as a real column BEFORE the higher-order
-    ``transform``: a lambda body that references the tokenize expression
-    directly re-evaluates the whole split+filter per array element (O(tokens²)
-    per document — measured 16-23 s for the minhash query at sf0.1, vs 1.6-4 s
-    with the bound column; identical output)."""
+    Two measured traps live here:
+
+    - the token array is bound as a real column BEFORE the higher-order
+      ``transform``: a lambda body that references the tokenize expression
+      directly re-evaluates the whole split+filter per array element
+      (O(tokens²) per document — measured 16-23 s for the minhash query at
+      sf0.1, vs 1.6-4 s with the bound column; identical output);
+    - every consumer of the shingles (per-doc sizes, document frequencies,
+      prefix index, exact verify arrays) is a separate DataFrame branch, and
+      Spark does not share subtree computation across branches — without the
+      materialization the regex tokenize + shingle transform re-ran up to 4×
+      per query (measured 81.8 s for the ngram query at sf1.0 on the driver,
+      ~24 s after; plan: four `documents` scans → one).
+
+    MEMORY_AND_DISK storage, partitioned like the scan — never on the driver;
+    at 100 TB this is exactly the "fingerprints only" materialization of the
+    optimization guide's worked example (§8.4 step 1): decide on small rows
+    (doc_id + ~4 KB shingle array), read the full text exactly once."""
+    par = d.sparkSession.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        # a small corpus arrives as 1-2 parquet splits; the tokenize+shingle
+        # pass (and the checkpoint that pins it) would run near-serial. The
+        # raw text shuffle is tiny relative to the compute. At scale the scan
+        # already has ≥ parallelism splits and this branch never fires.
+        d = d.repartition(par)
     d = d.withColumn("_toks", _tokens())
     toks = F.col("_toks")
     n = F.size(toks)
@@ -239,7 +261,17 @@ def _shingle_postings(d):
     sh = F.when(n >= 2, F.transform(
         idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
     )).otherwise(F.array().cast("array<string>"))
-    return d.select("doc_id", F.explode(F.array_distinct(sh)).alias("s"))
+    docs = d.select(
+        "doc_id", F.array_distinct(sh).alias("arr")
+    ).withColumn("sz", F.size("arr"))
+    return docs.localCheckpoint()
+
+
+def _shingle_postings(docs):
+    """Exploded (doc_id, shingle) postings over :func:`_shingle_docs` output.
+    Empty arrays (docs with <2 tokens) drop out, exactly as the pre-round-6
+    explode-first formulation did."""
+    return docs.select("doc_id", F.explode("arr").alias("s"))
 
 
 @register(
@@ -265,75 +297,119 @@ WHERE common * 1.0 / (sa.sz + sb.sz - common) >= 0.8
 )
 def dedup_ngram_jaccard_pairs(spark, sf_dir):
     """Near-duplicate pairs by word-bigram Jaccard ≥ 0.8 with LOSSLESS
-    PPJoin-style filtering (public literature):
+    PPJoin-family filtering (public literature), round-6 physical plan:
 
-    - prefix filter: under a global shingle order (ascending document
-      frequency), a pair with Jaccard ≥ τ must share a shingle within each
-      doc's first ``|d| − ceil(τ·|d|) + 1`` shingles — only those rare-first
-      prefixes are indexed and joined;
-    - length filter: ``|a| ≥ ceil(τ·|b|)`` both ways, else even full
-      containment misses τ;
-    - positional filter: the FIRST common shingle at ranks (i, j) bounds the
-      overlap by ``1 + min(|a|−i, |b|−j)``; Jaccard ≥ τ needs overlap
-      ``≥ ceil(τ·(|a|+|b|)/(1+τ))``, so matches that cannot reach it are
-      dropped during the join (keep-if-any-match-passes is conservative:
-      the first common shingle has the loosest bound).
+    1. **Materialize once** (guide §1.2/§8): the per-doc distinct-shingle
+       arrays are computed one time (:func:`_shingle_docs`, localCheckpoint) —
+       the round-2..5 plan recomputed the tokenize+shingle pass up to 4×.
+    2. **Dense integer shingle ids**: every distinct shingle gets a dense id
+       by ascending (document-frequency, shingle) — the canonical PPJoin
+       global order. Per-doc id arrays are SORTED, so a shingle's prefix rank
+       is its array position: the df-join + per-doc row_number window of the
+       old plan disappear, and every downstream join/verify compares ints,
+       not strings. (The id window is a single-partition pass over the
+       VOCABULARY — fine for any corpus whose distinct-shingle count fits one
+       task; at web scale replace with a two-phase range-id assignment.)
+    3. **Prefix filter with index reduction** (Xiao et al.): order docs by
+       (sz, doc_id); the larger doc x probes with its first
+       ``sz − ceil(τ·sz) + 1`` ids, the smaller doc y is indexed on only its
+       first ``sz − ceil(2τ/(1+τ)·sz) + 1`` ids (computed with floor — one id
+       longer than the exact bound, never shorter). A τ-pair must share an id
+       within those two prefixes (pigeonhole on the global order), and each
+       unordered pair is generated on one side only — no `doc_a < doc_b`
+       double-generation.
+    4. **Length filter**: ``sz_x ≥ ceil(τ·sz_y)`` both ways.
+    5. **Aggregated positional filter** (the MPJoin tightening): group the
+       prefix matches per pair; with ranks monotone in the one global order,
+       every shared shingle ordered before the LAST counted match is itself
+       counted, so ``overlap ≤ c + min(sz_x − max_rk_x, sz_y − max_rk_y)``.
+       Strictly tighter than the first-match bound the round-2..5 plan
+       applied per row, and the groupBy replaces the old distinct() — same
+       shuffle, far fewer survivors.
+    6. **Exact verify**: per-pair ``array_intersect`` on the sorted id
+       arrays (broadcast below ``_BROADCAST_VERIFY_MAX_DOCS`` docs, shuffle
+       SortMergeJoin above it — at 100 TB the doc→array map never rides the
+       driver). The DuckDB oracle is the naive all-postings join: passing it
+       proves the pruned plan preserves semantics.
 
-    Survivors are verified EXACTLY via per-doc shingle arrays +
-    ``array_intersect`` — no exploded verify join. The array side is
-    BROADCAST while the corpus is small enough (the fast path: one hash
-    lookup per candidate, no shuffle) and switches to a shuffle
-    SortMergeJoin on doc_id past ``_BROADCAST_VERIFY_MAX_DOCS`` — at 100 TB
-    the doc→array map is tens of GB and must never ride the driver. Both
-    paths produce identical rows (pytest-audited, plus the plan shape).
-    The DuckDB oracle is the naive all-postings join: passing it proves the
-    pruned plan preserves semantics.
+    The explicit `repartition(4·parallelism, doc_x)` before the candidate
+    join is load-bearing: the join fans 1.05M probe rows out to 173M matches
+    at sf1.0 — output ≫ input, which AQE's size-based partition coalescing
+    cannot see; without the pin it coalesces the exchange to 1-2 partitions
+    and the fan-out runs near-serial (guide §2.5: partition count must follow
+    the WORK). The 4× multiple keeps each partial-aggregation hash map small
+    enough to stay cache-resident (measured 19.9 s → 7.6 s vs 1×).
 
-    Scale story at sf0.1 (5 000 docs, degenerate shared vocabulary): naive
-    inverted-index join Σ(posting²) = 57 s; prefix-only filtering left 4.4 M
-    candidates and a 37 s exploded verify; the length+positional filters cut
-    candidates to 0.66 M and the array_intersect verify lands at ~6 s —
-    identical 256 output rows at every step."""
+    Measured at sf1.0 (50k docs, 931-shingle degenerate vocabulary,
+    local[32]): round-5 plan 60.1 s (driver: 81.8 s) → 17.8 s end-to-end
+    (min of 3 noop-sink runs, bench_extra.py); string→int verify alone cut
+    the 60M-pair array_intersect stage ~4×; identical output rows at every
+    step (dual-oracle green at sf0.001/sf0.01/sf0.1, identical 2 544 pairs
+    vs the round-5 plan at sf1.0)."""
     tau = 0.8
     d = t(spark, sf_dir, "documents")
     # parquet-footer row count (metadata-only job): decides the verify join
-    # strategy. ~100 distinct shingles/doc × ~36 B ≈ 4 KB of array per doc;
-    # 200k docs ≈ 800 MB serialized — the edge of a sane broadcast budget.
+    # strategy. ~100 distinct shingles/doc × 4 B ≈ 0.4 KB of id array per
+    # doc; 200k docs ≈ 80 MB serialized — comfortable broadcast budget.
     use_broadcast = d.count() <= _BROADCAST_VERIFY_MAX_DOCS
-    sh = _shingle_postings(d)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    docs = _shingle_docs(d)  # materialized once; every branch below reuses it
+    sh = _shingle_postings(docs)
     df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    ranked = (
-        sh.join(df_counts, "s")
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "s")),
-        )
-        .join(sizes, "doc_id")
+    dict_df = df_counts.select(
+        "s", F.row_number().over(Window.orderBy("df", "s")).alias("id")
     )
-    prefix = ranked.filter(
-        F.col("rk") <= F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + 1
-    ).select("doc_id", "s", "rk", "sz")
-    pa = prefix.select(
-        F.col("doc_id").alias("doc_a"), "s", F.col("rk").alias("rk_a"), F.col("sz").alias("sz_a")
+    docs_ids = (
+        sh.join(F.broadcast(dict_df), "s")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("id")).alias("arr"))
+        .withColumn("sz", F.size("arr"))
+        .localCheckpoint()
     )
-    pb = prefix.select(
-        F.col("doc_id").alias("doc_b"), "s", F.col("rk").alias("rk_b"), F.col("sz").alias("sz_b")
+    par = spark.sparkContext.defaultParallelism
+    lp = (F.col("sz") - F.ceil(F.lit(tau) * F.col("sz")) + 1).cast("int")
+    li = (F.col("sz") - F.floor(F.lit(8) * F.col("sz") / 9) + 1).cast("int")
+    probe = docs_ids.select(
+        "doc_id", "sz", F.posexplode(F.slice("arr", F.lit(1), lp))
+    ).select(
+        F.col("doc_id").alias("doc_x"), F.col("sz").alias("sz_x"),
+        (F.col("pos") + 1).alias("rk_x"), F.col("col").alias("id"),
     )
-    need = F.ceil(F.lit(tau) / (1 + tau) * (F.col("sz_a") + F.col("sz_b")))
-    ubound = 1 + F.least(F.col("sz_a") - F.col("rk_a"), F.col("sz_b") - F.col("rk_b"))
+    index = docs_ids.select(
+        "doc_id", "sz", F.posexplode(F.slice("arr", F.lit(1), li))
+    ).select(
+        F.col("doc_id").alias("doc_y"), F.col("sz").alias("sz_y"),
+        (F.col("pos") + 1).alias("rk_y"), F.col("col").alias("id"),
+    )
+    order_ok = (F.col("sz_y") < F.col("sz_x")) | (
+        (F.col("sz_y") == F.col("sz_x")) & (F.col("doc_y") < F.col("doc_x"))
+    )
+    need = F.ceil(F.lit(tau) / (1 + tau) * (F.col("sz_x") + F.col("sz_y")))
+    ubound = F.col("c") + F.least(
+        F.col("sz_x") - F.col("max_rk_x"), F.col("sz_y") - F.col("max_rk_y")
+    )
     cand = (
-        pa.join(pb, "s")
+        probe.repartition(4 * par, "doc_x")
+        .join(index, "id")
         .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (F.col("sz_a") >= F.ceil(F.lit(tau) * F.col("sz_b")))
-            & (F.col("sz_b") >= F.ceil(F.lit(tau) * F.col("sz_a")))
-            & (ubound >= need)
+            order_ok
+            & (F.col("sz_x") >= F.ceil(F.lit(tau) * F.col("sz_y")))
+            & (F.col("sz_y") >= F.ceil(F.lit(tau) * F.col("sz_x")))
         )
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_x", "doc_y")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.max("rk_x").alias("max_rk_x"),
+            F.max("rk_y").alias("max_rk_y"),
+            F.max("sz_x").alias("sz_x"),
+            F.max("sz_y").alias("sz_y"),
+        )
+        .filter(ubound >= need)
+        .select(
+            F.least("doc_x", "doc_y").alias("doc_a"),
+            F.greatest("doc_x", "doc_y").alias("doc_b"),
+        )
     )
-    return _ngram_verify_pairs(cand, sh, sizes, tau, use_broadcast)
+    return _ngram_verify_pairs(cand, docs_ids, tau, use_broadcast)
 
 
 # Broadcast the per-doc shingle-array map only below this corpus size; above
@@ -343,10 +419,15 @@ def dedup_ngram_jaccard_pairs(spark, sf_dir):
 _BROADCAST_VERIFY_MAX_DOCS = 200_000
 
 
-def _ngram_verify_pairs(cand, sh, sizes, tau, use_broadcast: bool):
+def _ngram_verify_pairs(cand, docs, tau, use_broadcast: bool):
     """Exact Jaccard verification of candidate (doc_a, doc_b) pairs: join each
     side to its distinct-shingle array, common = |array_intersect|, then join
     the per-doc sizes and filter.
+
+    ``docs`` is the materialized :func:`_shingle_docs` output — the arrays and
+    sizes are projections of it, no collect_list groupBy and no postings
+    re-computation (the pre-round-6 shape rebuilt the whole shingle explode +
+    groupBy here a fourth time).
 
     Plan-shape note (measured, not theoretical): the sizes JOINS above the
     common-projection are load-bearing — they are a predicate-pushdown barrier.
@@ -355,15 +436,14 @@ def _ngram_verify_pairs(cand, sh, sizes, tau, use_broadcast: bool):
     ``array_intersect`` evaluates THREE times per candidate row (~10 s at
     sf0.1); with the filter referencing the join's output columns it evaluates
     once (~6.5 s)."""
-    doc_arrays = sh.groupBy("doc_id").agg(F.collect_list("s").alias("arr"))
     # "merge" (SHUFFLE_MERGE) pins the non-broadcast path to SortMergeJoin even
     # when the optimizer would auto-broadcast a small test corpus — the plan
     # under audit is the plan that runs at scale.
     wrap = F.broadcast if use_broadcast else (lambda df: df.hint("merge"))
-    arr_a = wrap(doc_arrays.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a")))
-    arr_b = wrap(doc_arrays.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b")))
-    sa = wrap(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")))
-    sb = wrap(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")))
+    arr_a = wrap(docs.select(F.col("doc_id").alias("doc_a"), F.col("arr").alias("arr_a")))
+    arr_b = wrap(docs.select(F.col("doc_id").alias("doc_b"), F.col("arr").alias("arr_b")))
+    sa = wrap(docs.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")))
+    sb = wrap(docs.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")))
     jac = F.col("common") * 1.0 / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
     return (
         cand.join(arr_a, "doc_a")
@@ -410,7 +490,10 @@ def dedup_minhash_lsh_candidates(spark, sf_dir):
     are one groupBy over postings; the candidate join touches only same-bucket
     docs (no all-pairs)."""
     d = t(spark, sf_dir, "documents")
-    sh = _shingle_postings(d)
+    # materialized once: the postings feed BOTH the distinct-vocabulary
+    # dictionary and the signature join below — without the checkpoint the
+    # tokenize+shingle pass ran twice (guide §1.2: remove the repeated pass)
+    sh = _shingle_postings(_shingle_docs(d))
     # hash dictionary: md5 each DISTINCT shingle once (vocabulary ≪ postings),
     # broadcast it back — identical semantics, ~k×|postings| fewer md5 calls;
     # at 100 TB this is the standard dictionary-encode-then-join plan.

@@ -90,3 +90,42 @@ def test_decode_media_sparkside_matches_numpy(spark):
             assert (r.width, r.height) == (exp["width"], exp["height"])
         else:
             assert r.width is None and r.height is None
+
+
+def test_vectorized_unfilter_matches_reference_per_filter_type():
+    """Round-6 optimization regression: the NumPy `_png_unfilter_image` hot
+    path must be byte-identical to the reference per-byte `_png_unfilter` for
+    EVERY filter type, including adversarial random scanlines (not just the
+    smooth generator corpus)."""
+    import random
+
+    from etl_geo_dem_spark.operators.multimodal import (
+        _png_unfilter,
+        _png_unfilter_image,
+    )
+
+    rng = random.Random(7)
+    for width, height in [(1, 5), (3, 7), (32, 16), (17, 5)]:
+        raw = bytearray()
+        for y in range(height):
+            raw.append(y % 5)  # cycle all five filter types
+            raw += bytes(rng.randrange(256) for _ in range(width))
+        # reference decode
+        ref = bytearray()
+        prior = bytes(width)
+        for y in range(height):
+            off = y * (width + 1)
+            row = bytearray(raw[off + 1 : off + 1 + width])
+            _png_unfilter(raw[off], row, prior, bpp=1)
+            ref += row
+            prior = bytes(row)
+        got = _png_unfilter_image(bytes(raw), width, height)
+        assert got.tobytes() == bytes(ref), f"mismatch at {width}x{height}"
+
+
+def test_vectorized_unfilter_rejects_bad_filter_type():
+    from etl_geo_dem_spark.operators.multimodal import _png_unfilter_image
+
+    raw = bytes([7]) + bytes(4)  # filter type 7 is invalid
+    with pytest.raises(ValueError, match="filter type"):
+        _png_unfilter_image(raw, 4, 1)
