@@ -52,4 +52,18 @@ class EngineConfig:
     # is a put_atomic (2 fsyncs on POSIX) per micro-batch. Streaming-tail
     # knob; batch replays amortize it and should keep the default.
     epoch_manifest_async: bool = False
+    # mor + "agg" only: fuse the dedup exchange with the writer's bucket
+    # clustering — ONE shuffle per epoch (repartition by storage bucket, then
+    # aggregate by (bucket, key), which Spark plans WITHOUT a second exchange
+    # because bucket-partitioning already co-locates every key) instead of
+    # key-exchange + bucket-exchange. Measured at the bench shape (5.25M-event
+    # epochs, local[32]): 3.6 s → 2.3 s per epoch warm (r6). The trade,
+    # exactly as for ``bucket_sorted``: no map-side combine BEFORE the
+    # shuffle, and skew granularity becomes the storage bucket — a single
+    # pathological key that dominates a batch lands its whole mass on one
+    # task. For such streams set False (classic two-exchange plan whose
+    # map-side partials ship ≤1 row per hot key per map task) or use the
+    # salted_window strategy. Final state is identical either way
+    # (tests/test_round6_fused.py pins equivalence and the plan shape).
+    mor_fused_exchange: bool = True
     extra: dict = field(default_factory=dict)

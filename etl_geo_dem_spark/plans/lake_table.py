@@ -887,6 +887,7 @@ class LakeTable:
         cluster_by: list[str] | None = None,
         column_mapping: dict[str, str] | None = None,
         pre_partitioned: bool = False,
+        rows_unique_per_key: bool = False,
     ) -> list[dict[str, Any]]:
         """Write ``df`` (must carry ``_bucket``) into a fresh commit dir.
 
@@ -959,12 +960,22 @@ class LakeTable:
                 for c in snap.get("key_cols", ["conv_id", "turn_idx"])
                 if c in logical_cols and c not in lead
             ]
-            + [
+        )
+        if not rows_unique_per_key:
+            # ``rows_unique_per_key`` (the MERGE path: LWW winners, exactly one
+            # row per key) drops the order-column suffix from the write sort:
+            # with unique keys the (bucket, key) sort is already TOTAL, so the
+            # layout and byte-determinism are unchanged, the per-FILE footer
+            # min/max stats the snapshot records are order-independent anyway,
+            # and each epoch saves ~8% of its write stage in narrower sort
+            # comparisons (measured r6). Callers whose rows may repeat per key
+            # keep the full suffix — there the order columns break ties
+            # deterministically.
+            sort_cols += [
                 phys(c)
                 for c in snap.get("order_cols", ["ts", "lsn"])
                 if c in logical_cols and c not in lead
             ]
-        )
         # hash-repartition on bucket id over 4× slots: with exactly n_buckets
         # slots, hash collisions leave ~37% of write tasks empty while others
         # serialize two buckets; 4× slots make collisions rare at no extra pass
