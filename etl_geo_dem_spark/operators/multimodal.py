@@ -96,6 +96,17 @@ def _png_unfilter(ftype: int, row: bytearray, prior: bytes, bpp: int) -> None:
         raise ValueError(f"invalid PNG filter type {ftype}")
 
 
+# Size-adaptive unfilter dispatch (measured on this host, random scanlines
+# cycling all five filter types): the NumPy whole-image path pays ~µs of
+# per-row ndarray overhead, so it LOSES below ~64k pixels (16×8: 0.76×,
+# 64×64: 0.74×) and wins above (256×256: 1.48×, 1024×1024: 1.67× — Average
+# and Paeth rows keep a true loop dependence and cap the gain; see
+# _png_unfilter_image). The synthetic bench corpus (≤32×16) therefore takes
+# the scalar path; real media takes NumPy. Both are byte-identical (pinned
+# by tests/test_multimodal_real.py).
+_NUMPY_UNFILTER_MIN_PIXELS = 65_536
+
+
 def _png_unfilter_image(raw: bytes, width: int, height: int):
     """NumPy unfilter of a whole 8-bit grayscale image (bpp=1): returns the
     reconstructed pixel matrix as uint8 ``(height, width)``.
@@ -216,18 +227,36 @@ def decode_png(payload: bytes) -> dict:
     raw = zlib.decompress(idat)
     if len(raw) != height * (width + 1):
         raise ValueError("PNG IDAT length mismatch")
-    # NumPy unfilter + reductions (guide §4.2: hand whole buffers to native
-    # code inside the kernel) — byte-identical to the reference per-byte
-    # `_png_unfilter` path, pinned by tests/test_multimodal_real.py
-    pixels = _png_unfilter_image(raw, width, height)
+    if width * height >= _NUMPY_UNFILTER_MIN_PIXELS:
+        # NumPy unfilter + reductions (guide §4.2: hand whole buffers to
+        # native code inside the kernel) — byte-identical to the per-byte
+        # reference path, pinned by tests/test_multimodal_real.py
+        pixels = _png_unfilter_image(raw, width, height)
+        return {
+            "container": "png",
+            "width": width,
+            "height": height,
+            "n_values": int(pixels.size),
+            "v_sum": int(pixels.sum(dtype="int64")),
+            "v_min": int(pixels.min()),
+            "v_max": int(pixels.max()),
+        }
+    buf = bytearray()
+    prior = bytes(width)
+    for r in range(height):
+        off = r * (width + 1)
+        row = bytearray(raw[off + 1 : off + 1 + width])
+        _png_unfilter(raw[off], row, prior, bpp=1)
+        buf += row
+        prior = bytes(row)
     return {
         "container": "png",
         "width": width,
         "height": height,
-        "n_values": int(pixels.size),
-        "v_sum": int(pixels.sum(dtype="int64")),
-        "v_min": int(pixels.min()),
-        "v_max": int(pixels.max()),
+        "n_values": len(buf),
+        "v_sum": sum(buf),
+        "v_min": min(buf),
+        "v_max": max(buf),
     }
 
 

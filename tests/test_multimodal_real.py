@@ -129,3 +129,61 @@ def test_vectorized_unfilter_rejects_bad_filter_type():
     raw = bytes([7]) + bytes(4)  # filter type 7 is invalid
     with pytest.raises(ValueError, match="filter type"):
         _png_unfilter_image(raw, 4, 1)
+
+
+def test_decode_png_numpy_branch_large_image():
+    """decode_png dispatches to the NumPy unfilter at ≥64k pixels — build a
+    real 300x300 PNG (all five filter types) and check the stats against a
+    direct NumPy reconstruction of the same pixel function."""
+    import struct
+    import zlib
+
+    from etl_geo_dem_spark.operators.multimodal import (
+        _NUMPY_UNFILTER_MIN_PIXELS,
+        decode_png,
+    )
+
+    w = h = 300
+    assert w * h >= _NUMPY_UNFILTER_MIN_PIXELS
+    xs, ys = np.meshgrid(np.arange(w), np.arange(h))
+    px = ((xs * 7 + ys * 13 + 5 * 31) % 256).astype(np.uint8)
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    raw = bytearray()
+    prior = np.zeros(w, dtype=np.int16)
+    for y in range(h):
+        row = px[y].astype(np.int16)
+        ftype = y % 5
+        if ftype == 0:
+            enc = row.copy()
+        elif ftype == 1:
+            enc = (row - np.concatenate(([0], row[:-1]))) % 256
+        elif ftype == 2:
+            enc = (row - prior) % 256
+        elif ftype == 3:
+            left = np.concatenate(([0], row[:-1]))
+            enc = (row - ((left + prior) // 2)) % 256
+        else:
+            enc = np.empty(w, dtype=np.int16)
+            for i in range(w):
+                a = int(row[i - 1]) if i else 0
+                b = int(prior[i])
+                c = int(prior[i - 1]) if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (int(row[i]) - pred) % 256
+        raw.append(ftype)
+        raw += bytes(enc.astype(np.uint8).tobytes())
+        prior = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+    got = decode_png(png)
+    assert got["width"] == w and got["height"] == h
+    assert got["n_values"] == w * h
+    assert got["v_sum"] == int(px.sum(dtype=np.int64))
+    assert got["v_min"] == int(px.min()) and got["v_max"] == int(px.max())
