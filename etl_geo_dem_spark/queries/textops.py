@@ -252,8 +252,9 @@ def _shingle_docs(d):
       prefix index, exact verify arrays) is a separate DataFrame branch, and
       Spark does not share subtree computation across branches — without the
       materialization the regex tokenize + shingle transform re-ran up to 4×
-      per query (measured 81.8 s for the ngram query at sf1.0 on the driver,
-      ~24 s after; plan: four `documents` scans → one).
+      per query (the ngram query measured 81.8 s at sf1.0 on the driver in
+      round 5, 15.5-17.8 s after the round-6 rework this checkpoint anchors;
+      plan: four `documents` scans → one).
 
     MEMORY_AND_DISK storage, partitioned like the scan — never on the driver;
     at 100 TB this is exactly the "fingerprints only" materialization of the
